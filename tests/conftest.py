@@ -1,0 +1,17 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+This is the fake-backend trick the reference lacks (SURVEY.md §4): every
+multi-device test runs on `xla_force_host_platform_device_count=8` CPU
+devices, so sharding/collective code paths are exercised without TPU pods.
+Must run before jax is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
