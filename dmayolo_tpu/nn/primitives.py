@@ -1,0 +1,342 @@
+"""Leaf layers: conv, batchnorm, dense, layernorm, pooling, resize.
+
+Everything is NHWC (TPU-native layout; conv kernels HWIO).  Initialisers
+replicate torch defaults (kaiming-uniform a=sqrt(5) == U(±1/sqrt(fan_in)))
+so scratch training matches the reference's statistics.
+
+ref mapping: nn.Conv2d/nn.BatchNorm2d/nn.Linear usage throughout
+/root/reference/models/common.py; BN eps/momentum overridden to 1e-3/0.03
+for every BN by reference initialize_weights (utils/torch_utils.py:161-170).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .module import Module, Vars
+
+KernelSize = Union[int, Tuple[int, int]]
+
+
+def _pair(x: KernelSize) -> Tuple[int, int]:
+    return (x, x) if isinstance(x, int) else tuple(x)
+
+
+def autopad(k: KernelSize, p=None):
+    """'same' padding for odd kernels.  ref: models/common.py:33-48."""
+    if p is None:
+        p = k // 2 if isinstance(k, int) else tuple(x // 2 for x in k)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# activations (export-safe forms, ref: utils/activations.py)
+# ---------------------------------------------------------------------------
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def hardswish(x):
+    return jax.nn.hard_swish(x)
+
+
+def leaky_relu(x, slope=0.1):
+    return jax.nn.leaky_relu(x, slope)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+ACTIVATIONS = {
+    "silu": silu,
+    "hardswish": hardswish,
+    "leaky0.1": lambda x: leaky_relu(x, 0.1),
+    "relu": jax.nn.relu,
+    "gelu": gelu,
+    "mish": mish,
+    "sigmoid": jax.nn.sigmoid,
+    "identity": lambda x: x,
+}
+
+
+# ---------------------------------------------------------------------------
+# conv / dense / norms
+# ---------------------------------------------------------------------------
+
+class Conv2d(Module):
+    """Raw conv (torch nn.Conv2d equivalent), NHWC/HWIO."""
+
+    def __init__(self, c1, c2, k: KernelSize = 1, s: KernelSize = 1, p=None,
+                 g: int = 1, d: int = 1, bias: bool = True):
+        super().__init__()
+        self.c1, self.c2 = c1, c2
+        self.k = _pair(k)
+        self.s = _pair(s)
+        p = autopad(k, p)
+        self.p = _pair(p)
+        self.g = g
+        self.d = _pair(d) if not isinstance(d, tuple) else d
+        self.use_bias = bias
+
+    def own_params(self, key):
+        kh, kw = self.k
+        fan_in = self.c1 // self.g * kh * kw
+        bound = 1.0 / np.sqrt(fan_in)
+        kkey, bkey = jax.random.split(key)
+        params = {
+            self.path + ("kernel",): jax.random.uniform(
+                kkey, (kh, kw, self.c1 // self.g, self.c2), jnp.float32, -bound, bound
+            )
+        }
+        if self.use_bias:
+            params[self.path + ("bias",)] = jax.random.uniform(
+                bkey, (self.c2,), jnp.float32, -bound, bound
+            )
+        return params
+
+    def __call__(self, v: Vars, x):
+        kernel = v.params[self.path + ("kernel",)].astype(v.ctx.dtype)
+        x = x.astype(v.ctx.dtype)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=self.s,
+            padding=[(self.p[0], self.p[0]), (self.p[1], self.p[1])],
+            rhs_dilation=self.d,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.g,
+        )
+        bias = v.params.get(self.path + ("bias",))
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class BatchNorm2d(Module):
+    """BN over NHWC (channel-last).  eps=1e-3, momentum=0.03 — the values the
+    reference forces on every BN (utils/torch_utils.py:167-168).
+
+    Training mode computes moments over the (global) batch: under pjit this
+    is automatically cross-replica (SyncBN semantics, cf train.py:272-275).
+    """
+
+    def __init__(self, c, eps: float = 1e-3, momentum: float = 0.03):
+        super().__init__()
+        self.c = c
+        self.eps = eps
+        self.momentum = momentum
+
+    def own_params(self, key):
+        return {
+            self.path + ("scale",): jnp.ones((self.c,), jnp.float32),
+            self.path + ("bias",): jnp.zeros((self.c,), jnp.float32),
+        }
+
+    def own_stats(self):
+        return {
+            self.path + ("mean",): jnp.zeros((self.c,), jnp.float32),
+            self.path + ("var",): jnp.ones((self.c,), jnp.float32),
+        }
+
+    def __call__(self, v: Vars, x):
+        in_dtype = x.dtype
+        scale = v.params[self.path + ("scale",)]
+        bias = v.params[self.path + ("bias",)]
+        if v.ctx.train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+            var = jnp.maximum(var, 0.0)
+            if v.ctx.stats_out is not None:
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                v.ctx.stats_out[self.path + ("mean",)] = (
+                    (1 - m) * v.stats[self.path + ("mean",)] + m * mean
+                )
+                v.ctx.stats_out[self.path + ("var",)] = (
+                    (1 - m) * v.stats[self.path + ("var",)] + m * unbiased
+                )
+        else:
+            mean = v.stats[self.path + ("mean",)]
+            var = v.stats[self.path + ("var",)]
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return ((x.astype(jnp.float32) - mean) * inv + bias).astype(in_dtype)
+
+
+class Dense(Module):
+    """torch nn.Linear equivalent; kernel stored (in, out)."""
+
+    def __init__(self, c1, c2, bias: bool = True):
+        super().__init__()
+        self.c1, self.c2 = c1, c2
+        self.use_bias = bias
+
+    def own_params(self, key):
+        bound = 1.0 / np.sqrt(self.c1)
+        kkey, bkey = jax.random.split(key)
+        params = {
+            self.path + ("kernel",): jax.random.uniform(
+                kkey, (self.c1, self.c2), jnp.float32, -bound, bound
+            )
+        }
+        if self.use_bias:
+            params[self.path + ("bias",)] = jax.random.uniform(
+                bkey, (self.c2,), jnp.float32, -bound, bound
+            )
+        return params
+
+    def __call__(self, v: Vars, x):
+        kernel = v.params[self.path + ("kernel",)].astype(v.ctx.dtype)
+        y = jnp.dot(x.astype(v.ctx.dtype), kernel, preferred_element_type=v.ctx.dtype)
+        bias = v.params.get(self.path + ("bias",))
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class LayerNorm(Module):
+    """LayerNorm on the last axis (channels_last) or axis 3->channels_first
+    emulation.  ref: models/common.py:1402-1427 (HorNet LN) and nn.LayerNorm
+    uses in the transformer stacks (eps=1e-5 there, 1e-6 for HorNet).
+    """
+
+    def __init__(self, c, eps: float = 1e-5):
+        super().__init__()
+        self.c = c
+        self.eps = eps
+
+    def own_params(self, key):
+        return {
+            self.path + ("scale",): jnp.ones((self.c,), jnp.float32),
+            self.path + ("bias",): jnp.zeros((self.c,), jnp.float32),
+        }
+
+    def __call__(self, v: Vars, x):
+        in_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * v.params[self.path + ("scale",)] + v.params[self.path + ("bias",)]
+        return y.astype(in_dtype)
+
+
+class Dropout(Module):
+    def __init__(self, rate: float):
+        super().__init__()
+        self.rate = rate
+
+    def __call__(self, v: Vars, x):
+        if not v.ctx.train or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(v.ctx.next_rng(), keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class DropPath(Module):
+    """Stochastic depth per sample.  ref: models/common.py:386-413."""
+
+    def __init__(self, rate: float):
+        super().__init__()
+        self.rate = rate
+
+    def __call__(self, v: Vars, x):
+        if not v.ctx.train or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jnp.floor(keep + jax.random.uniform(v.ctx.next_rng(), shape, x.dtype))
+        return x / keep * mask
+
+
+# ---------------------------------------------------------------------------
+# pooling / resize (pure functions — shapes static under jit)
+# ---------------------------------------------------------------------------
+
+def max_pool(x, k: int, s: int = 1, p: Optional[int] = None):
+    """torch MaxPool2d(k, s, p) on NHWC (implicit -inf padding)."""
+    if p is None:
+        p = k // 2 if s == 1 else 0
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, s, s, 1),
+        padding=((0, 0), (p, p), (p, p), (0, 0)),
+    )
+
+
+def avg_pool(x, k: int, s: Optional[int] = None, p: int = 0):
+    """torch AvgPool2d(k, s) on NHWC, count_include_pad=True."""
+    s = k if s is None else s
+    summed = jax.lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        jax.lax.add,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, s, s, 1),
+        padding=((0, 0), (p, p), (p, p), (0, 0)),
+    )
+    return summed / (k * k)
+
+
+def adaptive_avg_pool_h(x):
+    """AdaptiveAvgPool2d((None, 1)): mean over W -> (B, H, 1, C)."""
+    return jnp.mean(x, axis=2, keepdims=True)
+
+
+def adaptive_avg_pool_w(x):
+    """AdaptiveAvgPool2d((1, None)): mean over H -> (B, 1, W, C)."""
+    return jnp.mean(x, axis=1, keepdims=True)
+
+
+def global_avg_pool(x):
+    """AdaptiveAvgPool2d(1) -> (B, 1, 1, C)."""
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+def global_max_pool(x):
+    return jnp.max(x, axis=(1, 2), keepdims=True)
+
+
+def upsample_nearest(x, scale: int):
+    """Nearest-neighbour integer upsample = repeat (zero-FLOP reshape on XLA)."""
+    x = jnp.repeat(x, scale, axis=1)
+    return jnp.repeat(x, scale, axis=2)
+
+
+def resize_nearest(x, size: Tuple[int, int]):
+    """Nearest resize to (H, W) matching torch F.interpolate(mode='nearest')."""
+    b, h, w, c = x.shape
+    th, tw = size
+    if th % h == 0 and tw % w == 0 and th // h == tw // w:
+        return upsample_nearest(x, th // h)
+    rows = (jnp.arange(th) * h // th).astype(jnp.int32)
+    cols = (jnp.arange(tw) * w // tw).astype(jnp.int32)
+    return x[:, rows][:, :, cols]
+
+
+def space_to_depth_2x(x):
+    """SPD-Conv slice-cat: (B,H,W,C) -> (B,H/2,W/2,4C).
+
+    ref: models/common.py:1451-1458 — on TPU this is a pure
+    reshape/transpose (zero cost).  Channel order matches the reference's
+    cat([::2,::2], [1::2,::2], [::2,1::2], [1::2,1::2]).
+    """
+    tl = x[:, ::2, ::2]
+    bl = x[:, 1::2, ::2]
+    tr = x[:, ::2, 1::2]
+    br = x[:, 1::2, 1::2]
+    return jnp.concatenate([tl, bl, tr, br], axis=-1)

@@ -1,0 +1,135 @@
+"""Torch-checkpoint importer.
+
+Because our param paths mirror the reference's torch module paths 1:1, the
+import is a mechanical key + layout transform:
+
+    our leaf            torch leaf            layout
+    ------------------  --------------------  -----------------------------
+    kernel (4D)         .weight               OIHW -> HWIO
+    kernel (2D)         .weight               (O, I) -> (I, O)
+    scale               .weight               as-is (BN/LN affine)
+    bias                .bias                 as-is
+    mean / var          .running_mean/_var    as-is
+    in_proj_kernel      in_proj_weight        (3C, C) -> (C, 3C)
+    w / gamma1 / ...    same name             as-is
+
+Supports reference .pt training checkpoints ({'model': module, 'ema': ...},
+ref train.py:515-529) when torch is available, or plain
+{key: np.ndarray} dicts.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.module import FlatDict, Path
+
+
+_LEAF_RULES = {
+    "scale": ("weight", None),
+    "bias": ("bias", None),
+    "mean": ("running_mean", None),
+    "var": ("running_var", None),
+    "in_proj_kernel": ("in_proj_weight", "linear_t"),
+    "in_proj_bias": ("in_proj_bias", None),
+}
+
+
+def _torch_key_and_transform(path: Path, arr) -> Tuple[str, str]:
+    parent = ".".join(path[:-1])
+    leaf = path[-1]
+    if leaf == "kernel":
+        if arr.ndim == 4:
+            return (f"{parent}.weight", "conv")
+        return (f"{parent}.weight", "linear_t")
+    if leaf in _LEAF_RULES:
+        tleaf, tf = _LEAF_RULES[leaf]
+        return (f"{parent}.{tleaf}" if parent else tleaf, tf)
+    # direct params (w, gamma1, gamma2, relative_position_bias_table, ...)
+    return (".".join(path), None)
+
+
+def _apply_transform(value: np.ndarray, tf) -> np.ndarray:
+    if tf == "conv":
+        return np.transpose(value, (2, 3, 1, 0))  # OIHW -> HWIO
+    if tf == "linear_t":
+        return np.transpose(value)
+    return value
+
+
+def state_dict_to_numpy(obj) -> Dict[str, np.ndarray]:
+    """Accept a torch nn.Module, a state_dict of tensors, or numpy dict."""
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    out = {}
+    for k, t in obj.items():
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().float().numpy()
+        out[k] = np.asarray(t)
+    return out
+
+
+def import_torch_state(model, state_dict, prefix: str = "", strict: bool = True
+                       ) -> Tuple[FlatDict, FlatDict, Dict]:
+    """Map a torch state_dict onto `model`'s flat (params, stats).
+
+    Args:
+        model: a built Module (e.g. DetectionModel).
+        state_dict: torch module / state_dict / numpy dict.
+        prefix: optional torch-side key prefix to strip (e.g. "module.").
+        strict: raise on missing keys or shape mismatches.
+
+    Returns:
+        (params, stats, report) where report lists matched/missing keys.
+    """
+    import jax
+
+    sd = state_dict_to_numpy(state_dict)
+    if prefix:
+        sd = {k[len(prefix):] if k.startswith(prefix) else k: v for k, v in sd.items()}
+
+    params, stats = model.init(jax.random.PRNGKey(0))
+    report = {"matched": [], "missing": [], "mismatched": [], "unused": []}
+
+    def fill(tree: FlatDict):
+        for path, cur in tree.items():
+            tkey, tf = _torch_key_and_transform(path, cur)
+            if tkey not in sd:
+                report["missing"].append(tkey)
+                continue
+            val = _apply_transform(sd[tkey], tf)
+            if tuple(val.shape) != tuple(cur.shape):
+                report["mismatched"].append((tkey, val.shape, tuple(cur.shape)))
+                continue
+            tree[path] = jnp.asarray(val, jnp.float32)
+            report["matched"].append(tkey)
+
+    fill(params)
+    fill(stats)
+
+    used = set(report["matched"])
+    report["unused"] = [
+        k for k in sd
+        if k not in used and not k.endswith("num_batches_tracked")
+        and not k.endswith(".anchors") and not k.endswith(".anchor_grid")
+        and "relative_position_index" not in k and not k.endswith(".dfl.conv.weight")
+    ]
+    if strict and (report["missing"] or report["mismatched"]):
+        raise ValueError(
+            f"torch import mismatch: missing={report['missing'][:8]} "
+            f"mismatched={report['mismatched'][:8]}"
+        )
+    return params, stats, report
+
+
+def load_reference_checkpoint(path: str, model, ema: bool = True):
+    """Load a reference .pt checkpoint (torch required), preferring the EMA
+    weights like reference attempt_load (models/experimental.py:113-153)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    net = ckpt.get("ema") or ckpt["model"] if isinstance(ckpt, dict) else ckpt
+    net = net.float()
+    return import_torch_state(model, net.state_dict())

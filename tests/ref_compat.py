@@ -70,3 +70,17 @@ def setup_reference_imports():
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     return True
+
+
+def patch_ca_alias():
+    """13 reference configs use module `CA`, which the reference never
+    defines (parse_model's eval raises NameError — SURVEY.md §2.2).  Register
+    the obvious alias CA = CoorAttention in the reference namespaces so those
+    architectures can be built for golden comparison."""
+    import models.yolo as ryolo
+    import models.common as rcommon
+
+    if not hasattr(ryolo, "CA"):
+        ryolo.CA = rcommon.CoorAttention
+    if not hasattr(rcommon, "CA"):
+        rcommon.CA = rcommon.CoorAttention
