@@ -1,0 +1,176 @@
+"""Host-side image augmentation (numpy/cv2), feature-parity with the
+reference pipeline (ref: utils/augmentations.py).
+
+These run in loader worker threads (cv2 releases the GIL); images reach the
+device as one uint8 NHWC batch per step, so host->TPU bandwidth stays
+minimal and normalisation happens on-device.  A Pallas-fused on-device
+variant of the hot ops (HSV + flip + normalise) can slot in later without
+changing the data contract.
+
+Labels here are (n, 5) [cls, x1, y1, x2, y2] pixel xyxy unless stated.
+"""
+from __future__ import annotations
+
+import math
+import random
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+cv2.setNumThreads(0)  # ref: utils/general.py:38 — avoid thread explosions
+
+
+def letterbox(im, new_shape=(640, 640), color=(114, 114, 114), auto=True,
+              scale_fill=False, scaleup=True, stride=32):
+    """Aspect-preserving resize + pad.  ref: utils/augmentations.py:92-122."""
+    shape = im.shape[:2]
+    if isinstance(new_shape, int):
+        new_shape = (new_shape, new_shape)
+    r = min(new_shape[0] / shape[0], new_shape[1] / shape[1])
+    if not scaleup:
+        r = min(r, 1.0)
+    ratio = (r, r)
+    new_unpad = (int(round(shape[1] * r)), int(round(shape[0] * r)))
+    dw, dh = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
+    if auto:
+        dw, dh = dw % stride, dh % stride
+    elif scale_fill:
+        dw, dh = 0.0, 0.0
+        new_unpad = (new_shape[1], new_shape[0])
+        ratio = (new_shape[1] / shape[1], new_shape[0] / shape[0])
+    dw /= 2
+    dh /= 2
+    if shape[::-1] != new_unpad:
+        im = cv2.resize(im, new_unpad, interpolation=cv2.INTER_LINEAR)
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    im = cv2.copyMakeBorder(im, top, bottom, left, right, cv2.BORDER_CONSTANT, value=color)
+    return im, ratio, (dw, dh)
+
+
+def augment_hsv(im, hgain=0.5, sgain=0.5, vgain=0.5, rng: random.Random = random):
+    """LUT-based HSV jitter in place.  ref: utils/augmentations.py:48-61."""
+    if not (hgain or sgain or vgain):
+        return
+    r = np.array([rng.uniform(-1, 1) for _ in range(3)]) * [hgain, sgain, vgain] + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(im, cv2.COLOR_BGR2HSV))
+    x = np.arange(0, 256, dtype=r.dtype)
+    lut_hue = ((x * r[0]) % 180).astype(im.dtype)
+    lut_sat = np.clip(x * r[1], 0, 255).astype(im.dtype)
+    lut_val = np.clip(x * r[2], 0, 255).astype(im.dtype)
+    im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+    cv2.cvtColor(im_hsv, cv2.COLOR_HSV2BGR, dst=im)
+
+
+def box_candidates(box1, box2, wh_thr=2, ar_thr=20, area_thr=0.1, eps=1e-16):
+    """Keep boxes that survive the affine sanely.  ref: augmentations.py:273-278."""
+    w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
+    w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
+    ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+
+
+def random_perspective(im, targets=np.zeros((0, 5)), degrees=10, translate=0.1,
+                       scale=0.1, shear=10, perspective=0.0, border=(0, 0),
+                       rng: random.Random = random):
+    """Combined centre/perspective/rotate/scale/shear/translate warp of image
+    + xyxy boxes.  ref: utils/augmentations.py:125-211."""
+    height = im.shape[0] + border[0] * 2
+    width = im.shape[1] + border[1] * 2
+
+    C = np.eye(3)
+    C[0, 2] = -im.shape[1] / 2
+    C[1, 2] = -im.shape[0] / 2
+
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
+
+    M = T @ S @ R @ P @ C
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            im = cv2.warpPerspective(im, M, dsize=(width, height), borderValue=(114, 114, 114))
+        else:
+            im = cv2.warpAffine(im, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+
+    n = len(targets)
+    if n:
+        xy = np.ones((n * 4, 3))
+        xy[:, :2] = targets[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
+        xy = xy @ M.T
+        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        keep = box_candidates(box1=targets[:, 1:5].T * s, box2=new.T, area_thr=0.10)
+        targets = targets[keep]
+        targets[:, 1:5] = new[keep]
+    return im, targets
+
+
+def mixup(im, labels, im2, labels2, rng: random.Random = random):
+    """beta(32,32) image blend.  ref: utils/augmentations.py:257-263."""
+    r = np.random.beta(32.0, 32.0)
+    im = (im * r + im2 * (1 - r)).astype(np.uint8)
+    return im, np.concatenate((labels, labels2), 0)
+
+
+def cutout(im, labels, p=0.5, rng: random.Random = random):
+    """Random occlusion squares.  ref: utils/augmentations.py:236-254."""
+    if rng.random() >= p:
+        return labels
+    h, w = im.shape[:2]
+    scales = [0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8 + [0.03125] * 16
+    for s in scales:
+        mask_h = rng.randint(1, int(h * s))
+        mask_w = rng.randint(1, int(w * s))
+        xmin = max(0, rng.randint(0, w) - mask_w // 2)
+        ymin = max(0, rng.randint(0, h) - mask_h // 2)
+        xmax = min(w, xmin + mask_w)
+        ymax = min(h, ymin + mask_h)
+        im[ymin:ymax, xmin:xmax] = [rng.randint(64, 191) for _ in range(3)]
+        if len(labels) and s > 0.03:
+            from .augment import _bbox_ioa
+
+            ioa = _bbox_ioa(np.array([xmin, ymin, xmax, ymax], np.float32), labels[:, 1:5])
+            labels = labels[ioa < 0.60]
+    return labels
+
+
+def _bbox_ioa(box1, box2, eps=1e-7):
+    """Intersection over box2 area."""
+    b2x1, b2y1, b2x2, b2y2 = box2[:, 0], box2[:, 1], box2[:, 2], box2[:, 3]
+    inter = (np.minimum(box1[2], b2x2) - np.maximum(box1[0], b2x1)).clip(0) * (
+        np.minimum(box1[3], b2y2) - np.maximum(box1[1], b2y1)
+    ).clip(0)
+    return inter / ((b2x2 - b2x1) * (b2y2 - b2y1) + eps)
+
+
+def flip_lr(im, labels_xywhn):
+    im = np.fliplr(im)
+    if len(labels_xywhn):
+        labels_xywhn[:, 1] = 1 - labels_xywhn[:, 1]
+    return np.ascontiguousarray(im), labels_xywhn
+
+
+def flip_ud(im, labels_xywhn):
+    im = np.flipud(im)
+    if len(labels_xywhn):
+        labels_xywhn[:, 2] = 1 - labels_xywhn[:, 2]
+    return np.ascontiguousarray(im), labels_xywhn

@@ -265,12 +265,21 @@ class DropPath(Module):
 # ---------------------------------------------------------------------------
 
 def max_pool(x, k: int, s: int = 1, p: Optional[int] = None):
-    """torch MaxPool2d(k, s, p) on NHWC (implicit -inf padding)."""
+    """torch MaxPool2d(k, s, p) on NHWC (implicit -inf padding).
+
+    NB: init values must be concrete numpy scalars, not traced arrays —
+    otherwise XLA takes the generic reduce_window path which has no
+    transpose rule and jit(grad(...)) fails to linearize.
+    """
     if p is None:
         p = k // 2 if s == 1 else 0
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = np.array(-np.inf, jax.dtypes.canonicalize_dtype(x.dtype))
+    else:
+        init = np.array(np.iinfo(x.dtype).min, x.dtype)
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        init,
         jax.lax.max,
         window_dimensions=(1, k, k, 1),
         window_strides=(1, s, s, 1),
@@ -283,7 +292,7 @@ def avg_pool(x, k: int, s: Optional[int] = None, p: int = 0):
     s = k if s is None else s
     summed = jax.lax.reduce_window(
         x,
-        jnp.zeros((), x.dtype),
+        np.array(0, jax.dtypes.canonicalize_dtype(x.dtype)),
         jax.lax.add,
         window_dimensions=(1, k, k, 1),
         window_strides=(1, s, s, 1),
