@@ -1,0 +1,124 @@
+"""Batching + background prefetch.
+
+Replaces the reference's InfiniteDataLoader/worker processes
+(ref: utils/datasets.py:95-155) with a thread-pool prefetcher (cv2/numpy
+release the GIL) producing fixed-shape device-ready batches:
+
+    images:  uint8 NHWC (normalisation happens on device — 4x less
+             host->TPU bandwidth than shipping f32)
+    targets: dense Targets(cls (B,M), xywhn (B,M,4), mask (B,M))
+
+Fixed M (max_targets) keeps every train step the same XLA program.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..train.loss import Targets
+from .datasets import DetectionDataset
+
+
+class Batch:
+    __slots__ = ("images", "targets", "paths", "shapes")
+
+    def __init__(self, images, targets, paths=None, shapes=None):
+        self.images = images
+        self.targets = targets
+        self.paths = paths
+        self.shapes = shapes
+
+
+def collate(samples, max_targets: int) -> Batch:
+    """Stack (img, labels) pairs into dense arrays."""
+    imgs = np.stack([s[0] for s in samples])
+    b = len(samples)
+    cls = np.zeros((b, max_targets), np.float32)
+    box = np.zeros((b, max_targets, 4), np.float32)
+    mask = np.zeros((b, max_targets), bool)
+    for i, (_, lb) in enumerate(samples):
+        n = min(len(lb), max_targets)
+        if n:
+            cls[i, :n] = lb[:n, 0]
+            box[i, :n] = lb[:n, 1:5]
+            mask[i, :n] = True
+    return Batch(imgs, Targets(cls, box, mask))
+
+
+class DataLoader:
+    """Epoch iterator with prefetch threads."""
+
+    def __init__(self, dataset: DetectionDataset, batch_size: int,
+                 max_targets: int = 128, shuffle: bool = True,
+                 workers: int = 4, seed: int = 0, drop_last: bool = True):
+        self.ds = dataset
+        self.bs = batch_size
+        self.max_targets = max_targets
+        self.shuffle = shuffle
+        self.workers = max(1, workers)
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else -(-n // self.bs)
+
+    def _batches(self) -> Iterator[list]:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        for i in range(nb):
+            yield order[i * self.bs : (i + 1) * self.bs].tolist()
+
+    def __iter__(self) -> Iterator[Batch]:
+        work: "queue.Queue" = queue.Queue()
+        out: "queue.Queue" = queue.Queue(maxsize=2 * self.workers)
+        batches = list(self._batches())
+        for j, b in enumerate(batches):
+            work.put((j, b))
+        results = {}
+        done = threading.Event()
+
+        def worker():
+            while not done.is_set():
+                try:
+                    j, idxs = work.get_nowait()
+                except queue.Empty:
+                    return
+                samples = [self.ds[i] for i in idxs]
+                out.put((j, collate(samples, self.max_targets)))
+
+        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.workers)]
+        for t in threads:
+            t.start()
+        try:
+            next_j = 0
+            pending = {}
+            for _ in range(len(batches)):
+                while next_j not in pending:
+                    j, batch = out.get()
+                    pending[j] = batch
+                yield pending.pop(next_j)
+                next_j += 1
+        finally:
+            done.set()
+
+
+def pad_to_batch(imgs: np.ndarray, targets: Targets, bs: int):
+    """Pad a short final batch up to bs (mask stays false on padding)."""
+    n = imgs.shape[0]
+    if n == bs:
+        return imgs, targets, np.ones(bs, bool)
+    pad = bs - n
+    imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+    t = Targets(
+        np.concatenate([np.asarray(targets.cls), np.zeros((pad,) + np.asarray(targets.cls).shape[1:], np.float32)]),
+        np.concatenate([np.asarray(targets.box), np.zeros((pad,) + np.asarray(targets.box).shape[1:], np.float32)]),
+        np.concatenate([np.asarray(targets.mask), np.zeros((pad,) + np.asarray(targets.mask).shape[1:], bool)]),
+    )
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    return imgs, t, valid

@@ -1,0 +1,169 @@
+"""Validator — mAP evaluation loop (reference val.py:88-353 equivalent).
+
+Device side: one jitted program per image shape = forward + decode +
+batched NMS (the reference runs NMS per-image in Python with
+torchvision — ours is a single vmapped program for the whole batch).
+Host side: letterbox-inverse box scaling, 10-IoU TP matching, AP
+aggregation (eval/metrics.py).
+
+Eval protocol matches the reference defaults: conf 0.001, NMS IoU 0.6,
+multi-label, max_det 300 (val.py:92-93, 235).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.nms import batched_nms
+from ..data.datasets import DetectionDataset
+from ..data.loader import DataLoader
+from ..eval.metrics import ap_per_class, process_batch
+from ..train.loss import Targets
+
+
+@dataclass
+class ValResult:
+    mp: float = 0.0
+    mr: float = 0.0
+    map50: float = 0.0
+    map: float = 0.0
+    maps: Optional[np.ndarray] = None  # per-class AP
+    speed_ms: Dict[str, float] = field(default_factory=dict)
+    nt: int = 0
+
+    def summary(self) -> str:
+        return (
+            f"P={self.mp:.4f} R={self.mr:.4f} mAP@.5={self.map50:.4f} "
+            f"mAP@.5:.95={self.map:.4f} ({self.nt} labels)"
+        )
+
+
+def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det, dtype=jnp.bfloat16,
+                  fused: bool = False):
+    """Build the jitted whole-batch forward+decode+NMS."""
+
+    @jax.jit
+    def infer(x):
+        xf = x.astype(dtype) / 255.0
+        raw = model.apply(params, stats, xf, dtype=dtype, fused=fused)
+        dec = model.decode(raw)
+        if dec.shape[-1] == model.nc + 4:  # TDetect: insert obj=1 column
+            dec = jnp.concatenate(
+                [dec[..., :4], jnp.ones_like(dec[..., :1]), dec[..., 4:]], axis=-1
+            )
+        return batched_nms(
+            dec,
+            conf_thres=conf_thres,
+            iou_thres=iou_thres,
+            multi_label=True,
+            max_det=max_det,
+        )
+
+    return infer
+
+
+def run_validation(
+    model,
+    params,
+    stats,
+    data_path,
+    img_size: int = 640,
+    batch_size: int = 16,
+    nc: Optional[int] = None,
+    conf_thres: float = 0.001,
+    iou_thres: float = 0.6,
+    max_det: int = 300,
+    dtype=jnp.bfloat16,
+    fused: bool = False,
+    max_targets: int = 256,
+    verbose: bool = False,
+) -> ValResult:
+    nc = nc if nc is not None else model.nc
+    ds = DetectionDataset(
+        data_path, img_size=img_size, augment=False, rect=False,
+        stride=int(model.stride.max()), nc=nc, batch_size=batch_size,
+    )
+    loader = DataLoader(ds, batch_size, max_targets=max_targets, shuffle=False,
+                        drop_last=False)
+    infer = make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
+                          dtype=dtype, fused=fused)
+
+    iouv = np.linspace(0.5, 0.95, 10)
+    stats_acc = []
+    t_infer = 0.0
+    n_img = 0
+    bs = batch_size
+
+    for batch in loader:
+        imgs = batch.images
+        n = imgs.shape[0]
+        if n < bs:  # pad to keep one compiled shape
+            pad = np.zeros((bs - n,) + imgs.shape[1:], imgs.dtype)
+            imgs = np.concatenate([imgs, pad])
+        t0 = time.perf_counter()
+        dets, valid = infer(jnp.asarray(imgs))
+        dets = np.asarray(jax.block_until_ready(dets))
+        valid = np.asarray(valid)
+        t_infer += time.perf_counter() - t0
+        n_img += n
+
+        h, w = imgs.shape[1:3]
+        tcls_all = []
+        for i in range(n):
+            d = dets[i][valid[i]]  # (k, 6) xyxy conf cls
+            lb = batch.targets
+            m = np.asarray(lb.mask[i])
+            cls = np.asarray(lb.cls[i])[m]
+            box = np.asarray(lb.box[i])[m]  # xywhn
+            tcls_all.append(cls)
+            # labels to pixel xyxy in letterboxed space
+            if len(box):
+                lx = box.copy()
+                lx[:, 0] *= w
+                lx[:, 1] *= h
+                lx[:, 2] *= w
+                lx[:, 3] *= h
+                labels = np.concatenate(
+                    [
+                        cls[:, None],
+                        np.stack(
+                            [
+                                lx[:, 0] - lx[:, 2] / 2,
+                                lx[:, 1] - lx[:, 3] / 2,
+                                lx[:, 0] + lx[:, 2] / 2,
+                                lx[:, 1] + lx[:, 3] / 2,
+                            ],
+                            1,
+                        ),
+                    ],
+                    1,
+                )
+            else:
+                labels = np.zeros((0, 5), np.float32)
+            correct = process_batch(d, labels, iouv)
+            stats_acc.append((correct, d[:, 4], d[:, 5], cls))
+
+    if not stats_acc:
+        return ValResult()
+
+    tp = np.concatenate([s[0] for s in stats_acc])
+    conf = np.concatenate([s[1] for s in stats_acc])
+    pred_cls = np.concatenate([s[2] for s in stats_acc])
+    tcls = np.concatenate([s[3] for s in stats_acc])
+    res = ValResult(nt=len(tcls))
+    res.speed_ms = {"inference+nms": 1000 * t_infer / max(n_img, 1)}
+    if tp.size and tcls.size:
+        p, r, ap, f1, classes = ap_per_class(tp, conf, pred_cls, tcls)
+        ap50, ap_mean = ap[:, 0], ap.mean(1)
+        res.mp, res.mr = float(p.mean()), float(r.mean())
+        res.map50, res.map = float(ap50.mean()), float(ap_mean.mean())
+        maps = np.zeros(nc)
+        maps[classes] = ap_mean
+        res.maps = maps
+    return res

@@ -77,7 +77,7 @@ class Schedule:
 
     def __init__(self, hyp: Dict, epochs: int, steps_per_epoch: int,
                  adam: bool = False, linear: bool = False, nbs: int = 64,
-                 batch_size: int = 16):
+                 batch_size: int = 16, warmup_min_iters: int = 1000):
         self.lr0 = 3e-4 if adam else hyp["lr0"]
         self.lrf = hyp["lrf"]
         self.momentum = hyp["momentum"]
@@ -85,7 +85,9 @@ class Schedule:
         self.warmup_bias_lr = hyp.get("warmup_bias_lr", 0.1)
         self.epochs = epochs
         self.spe = max(steps_per_epoch, 1)
-        self.nw = max(round(hyp.get("warmup_epochs", 3.0) * self.spe), 1000)
+        # reference floors warmup at 1000 iters (train.py:407); configurable
+        # so short smoke runs are not stuck at near-zero lr
+        self.nw = max(round(hyp.get("warmup_epochs", 3.0) * self.spe), warmup_min_iters)
         self.linear = linear
         self.accumulate = max(round(nbs / batch_size), 1)
 

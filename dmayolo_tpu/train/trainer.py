@@ -1,0 +1,283 @@
+"""Training driver — the reference train.py:67-575 equivalent.
+
+Orchestrates: model build, loss selection (anchor vs TAL, ref
+train.py:360-363), hyp scaling (train.py:330-333), mesh setup, the jitted
+train step, per-epoch EMA validation, checkpointing (last/best by
+fitness), CSV logging, early stopping.
+"""
+from __future__ import annotations
+
+import csv
+import math
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data.datasets import DetectionDataset, check_dataset
+from ..data.loader import DataLoader
+from ..eval.metrics import fitness
+from ..eval.validator import run_validation
+from ..graph import DetectionModel
+from ..nn.heads import Detect, TDetect
+from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from ..utils.checkpoint import load_checkpoint, save_checkpoint, strip_checkpoint
+from .loss import ComputeLoss, Targets
+from .optim import Schedule, param_groups
+from .step import init_train_state, jit_train_step, make_train_step
+from .tal import ComputeLossTAL
+
+NBS = 64  # nominal batch size (ref train.py:189)
+
+
+class EarlyStopping:
+    """ref: utils/torch_utils.py:286-306."""
+
+    def __init__(self, patience=30):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch, fi):
+        if fi >= self.best_fitness:
+            self.best_epoch = epoch
+            self.best_fitness = fi
+        return (epoch - self.best_epoch) >= self.patience
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg,                      # model yaml path or dict
+        data,                     # dataset yaml path or dict
+        hyp: Dict,
+        epochs: int = 100,
+        batch_size: int = 16,
+        img_size: int = 640,
+        assignment: str = "anchor",   # 'anchor' | 'tal'  (ref --assignment)
+        adam: bool = False,
+        linear_lr: bool = False,
+        workers: int = 4,
+        out_dir: str = "runs/train/exp",
+        max_targets: int = 128,
+        dtype=jnp.bfloat16,
+        mesh=None,
+        spatial: bool = False,
+        seed: int = 0,
+        patience: int = 30,
+        val_interval: int = 1,
+        train_ungrouped: bool = False,
+        warmup_min_iters: int = 1000,
+        resume_from: Optional[str] = None,
+        pretrained: Optional[str] = None,
+    ):
+        self.hyp = dict(hyp)
+        self.epochs = epochs
+        self.bs = batch_size
+        self.img_size = img_size
+        self.assignment = assignment
+        self.adam = adam
+        self.linear_lr = linear_lr
+        self.workers = workers
+        self.out = Path(out_dir)
+        self.max_targets = max_targets
+        self.dtype = dtype
+        self.spatial = spatial
+        self.seed = seed
+        self.patience = patience
+        self.val_interval = val_interval
+
+        self.data = check_dataset(data)
+        nc = self.data["nc"]
+        self.model = DetectionModel(cfg, nc=nc)
+        self.nc = nc
+
+        # mesh: default all local devices on the data axis
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        assert batch_size % n_dev == 0, (batch_size, n_dev)
+
+        # hyp scaling (ref train.py:330-339)
+        nl = self.model.head.nl
+        h = self.hyp
+        h["box"] = h.get("box", 0.05) * 3 / nl
+        h["cls"] = h.get("cls", 0.5) * nc / 80 * 3 / nl
+        h["obj"] = h.get("obj", 1.0) * (img_size / 640) ** 2 * 3 / nl
+
+        self.accumulate = max(round(NBS / batch_size), 1)
+        self.weight_decay = h.get("weight_decay", 5e-4) * batch_size * self.accumulate / NBS
+
+        # datasets/loaders
+        self.train_ds = DetectionDataset(
+            self.data["train"], img_size=img_size, augment=True, hyp=h,
+            stride=int(self.model.stride.max()), nc=nc, batch_size=batch_size,
+            seed=seed,
+        )
+        self.train_loader = DataLoader(
+            self.train_ds, batch_size, max_targets=max_targets, shuffle=True,
+            workers=workers, seed=seed,
+        )
+        self.steps_per_epoch = len(self.train_loader)
+
+        # loss
+        if assignment == "tal":
+            assert isinstance(self.model.head, TDetect), "--assignment tal needs a TDetect config"
+            self.loss = ComputeLossTAL(self.model.stride, nc=nc, hyp=h)
+        else:
+            assert isinstance(self.model.head, Detect)
+            self.loss = ComputeLoss(self.model.head.anchors, h, nc=nc)
+
+        self.sched = Schedule(
+            h, epochs=epochs, steps_per_epoch=self.steps_per_epoch, adam=adam,
+            linear=linear_lr, batch_size=batch_size,
+            warmup_min_iters=warmup_min_iters,
+        )
+        labels = param_groups(self.model, train_ungrouped=train_ungrouped)
+        step = make_train_step(
+            self.model, self.loss, self.sched, labels,
+            weight_decay=self.weight_decay, adam=adam, dtype=dtype,
+        )
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        self.jstep = jit_train_step(step, mesh=self.mesh, spatial=spatial, donate=on_tpu)
+
+        # init / resume
+        params, stats = self.model.init_with_priors(jax.random.PRNGKey(seed))
+        if pretrained:
+            trees, _ = load_checkpoint(pretrained)
+            src = trees.get("ema_params") or trees["params"]
+            matched = 0
+            for k in params:
+                if k in src and src[k].shape == params[k].shape:
+                    params[k] = src[k]
+                    matched += 1
+            src_s = trees.get("ema_stats") or trees.get("stats", {})
+            for k in stats:
+                if k in src_s and src_s[k].shape == stats[k].shape:
+                    stats[k] = src_s[k]
+            print(f"pretrained: matched {matched}/{len(params)} tensors")
+        self.state = init_train_state(params, stats)
+        self.start_epoch = 0
+        self.best_fitness = 0.0
+        if resume_from:
+            trees, meta = load_checkpoint(resume_from)
+            self.state = self.state._replace(
+                params=trees["params"], stats=trees["stats"],
+                ema_params=trees.get("ema_params", trees["params"]),
+                ema_stats=trees.get("ema_stats", trees["stats"]),
+                ema_updates=jnp.asarray(meta.get("updates", 0), jnp.int32),
+                opt=self.state.opt._replace(
+                    step=jnp.asarray(meta.get("step", 0), jnp.int32),
+                    mom=trees.get("opt_mom", self.state.opt.mom),
+                    vel=trees.get("opt_vel", self.state.opt.vel),
+                ),
+            )
+            self.start_epoch = meta.get("epoch", -1) + 1
+            self.best_fitness = meta.get("best_fitness", 0.0)
+            print(f"resumed from {resume_from} at epoch {self.start_epoch}")
+
+        self.out.mkdir(parents=True, exist_ok=True)
+        self.csv_path = self.out / "results.csv"
+
+    # -------------------------------------------------------------------
+    def _save(self, name: str, epoch: int):
+        s = self.state
+        save_checkpoint(
+            self.out / name,
+            params=jax.device_get(s.params),
+            stats=jax.device_get(s.stats),
+            ema_params=jax.device_get(s.ema_params),
+            ema_stats=jax.device_get(s.ema_stats),
+            opt_mom=jax.device_get(s.opt.mom),
+            opt_vel=jax.device_get(s.opt.vel),
+            meta={
+                "epoch": epoch,
+                "best_fitness": float(self.best_fitness),
+                "step": int(s.opt.step),
+                "updates": int(s.ema_updates),
+                "nc": self.nc,
+            },
+        )
+
+    def _log_csv(self, row: Dict):
+        exists = self.csv_path.exists()
+        with open(self.csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row.keys()))
+            if not exists:
+                w.writeheader()
+            w.writerow(row)
+
+    def validate(self, use_ema=True):
+        s = self.state
+        params = s.ema_params if use_ema else s.params
+        stats = s.ema_stats if use_ema else s.stats
+        return run_validation(
+            self.model, jax.device_get(params), jax.device_get(stats),
+            self.data["val"], img_size=self.img_size, batch_size=self.bs,
+            nc=self.nc, dtype=self.dtype, max_targets=self.max_targets,
+        )
+
+    def train(self, log_every: int = 10):
+        stopper = EarlyStopping(self.patience)
+        rng = jax.random.PRNGKey(self.seed)
+        t_start = time.time()
+        for epoch in range(self.start_epoch, self.epochs):
+            t0 = time.time()
+            running = {}
+            nb = 0
+            with self.mesh:
+                self.state = replicate_tree(self.mesh, self.state)
+                for batch in self.train_loader:
+                    rng, sub = jax.random.split(rng)
+                    imgs = shard_batch(self.mesh, jnp.asarray(batch.images), spatial=self.spatial)
+                    tgt = Targets(
+                        *(
+                            jax.device_put(jnp.asarray(t), NamedSharding(self.mesh, P("data")))
+                            for t in batch.targets
+                        )
+                    )
+                    self.state, metrics = self.jstep(self.state, imgs, tgt, sub)
+                    nb += 1
+                    if nb % log_every == 0 or nb == self.steps_per_epoch:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        running = m
+                        print(
+                            f"epoch {epoch} [{nb}/{self.steps_per_epoch}] "
+                            + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
+                            flush=True,
+                        )
+
+            row = {"epoch": epoch, **{f"train/{k}": v for k, v in running.items()}}
+            if (epoch + 1) % self.val_interval == 0 or epoch == self.epochs - 1:
+                res = self.validate()
+                print(f"epoch {epoch} val: {res.summary()}", flush=True)
+                fi = float(
+                    fitness(np.array([[res.mp, res.mr, res.map50, res.map]]))[0]
+                )
+                if fi > self.best_fitness:
+                    self.best_fitness = fi
+                    self._save("best", epoch)
+                row.update(
+                    {
+                        "metrics/precision": res.mp,
+                        "metrics/recall": res.mr,
+                        "metrics/mAP_0.5": res.map50,
+                        "metrics/mAP_0.5:0.95": res.map,
+                        "fitness": fi,
+                    }
+                )
+                if stopper(epoch, fi):
+                    print(f"early stopping at epoch {epoch}")
+                    self._save("last", epoch)
+                    break
+            self._save("last", epoch)
+            row["time_s"] = time.time() - t0
+            self._log_csv(row)
+
+        strip_checkpoint(self.out / "best") if (self.out / "best.npz").exists() else None
+        print(f"training done in {(time.time()-t_start)/3600:.2f}h; best fitness {self.best_fitness:.4f}")
+        return self.best_fitness
