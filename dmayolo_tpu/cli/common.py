@@ -1,0 +1,67 @@
+"""Shared CLI helpers: run dirs, config resolution, checkpointed model load."""
+from __future__ import annotations
+
+from pathlib import Path
+
+import yaml
+
+PKG_ROOT = Path(__file__).resolve().parents[1]
+CONFIGS = PKG_ROOT / "configs"
+
+
+def increment_path(path, exist_ok=False, sep=""):
+    """runs/train/exp -> exp2, exp3...  ref: utils/general.py:931+."""
+    path = Path(path)
+    if path.exists() and not exist_ok:
+        for n in range(2, 9999):
+            p = Path(f"{path}{sep}{n}")
+            if not p.exists():
+                return p
+    return path
+
+
+def resolve_config(name, kind: str):
+    """Resolve a model/hyp/data config by path or bundled name."""
+    p = Path(name)
+    if p.exists():
+        return p
+    cand = CONFIGS / kind / (p.name if p.suffix else p.name + ".yaml")
+    if cand.exists():
+        return cand
+    raise FileNotFoundError(f"config {name!r} not found (looked in {cand.parent})")
+
+
+def load_hyp(name) -> dict:
+    with open(resolve_config(name, "hyp"), errors="ignore") as f:
+        return yaml.safe_load(f)
+
+
+def load_model_from_checkpoint(weights, cfg=None, nc=None):
+    """Build a DetectionModel + weights from an npz checkpoint (preferring
+    EMA like reference attempt_load) or fresh from a cfg."""
+    import jax
+
+    from ..graph import DetectionModel
+    from ..utils.checkpoint import load_checkpoint
+
+    if weights:
+        trees, meta = load_checkpoint(weights)
+        cfg = cfg or meta.get("cfg")
+        nc = nc or meta.get("nc")
+        model = DetectionModel(resolve_config(cfg, "models"), nc=nc)
+        params = trees.get("ema_params") or trees["params"]
+        stats = trees.get("ema_stats") or trees["stats"]
+        return model, params, stats
+    assert cfg, "need --weights or --cfg"
+    model = DetectionModel(resolve_config(cfg, "models"), nc=nc)
+    params, stats = model.init_with_priors(jax.random.PRNGKey(0))
+    return model, params, stats
+
+
+def setup_device(device: str | None):
+    """Select the JAX platform. NB the JAX_PLATFORMS env var is ignored when
+    the axon TPU plugin is installed — config.update is authoritative."""
+    if device:
+        import jax
+
+        jax.config.update("jax_platforms", device)

