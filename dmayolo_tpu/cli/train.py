@@ -41,6 +41,8 @@ def build_parser():
     p.add_argument("--train-ungrouped", action="store_true",
                    help="also optimize params the reference leaves out")
     p.add_argument("--device", type=str, default=None, help="cpu|tpu (default: auto)")
+    p.add_argument("--evolve", type=int, nargs="?", const=300, default=0,
+                   help="evolve hyperparameters for N generations")
     return p
 
 
@@ -53,10 +55,32 @@ def main(argv=None):
 
     out = increment_path(f"{opt.project}/{opt.name}", exist_ok=opt.exist_ok)
     hyp = load_hyp(opt.hyp)
-    trainer = Trainer(
+
+    if opt.evolve:
+        from ..train.evolve import evolve
+
+        def train_once(h):
+            t = _make_trainer(opt, h, str(out / "evolve_run"))
+            return t.train()
+
+        best = evolve(train_once, hyp, generations=opt.evolve, out_dir=str(out))
+        print("evolved hyp:", best)
+        return best
+
+    trainer = _make_trainer(opt, hyp, str(out))
+    print(f"training -> {out}")
+    return trainer.train()
+
+
+def _make_trainer(opt, hyp, out_dir):
+    import jax.numpy as jnp
+
+    from ..train.trainer import Trainer
+
+    return Trainer(
         resolve_config(opt.cfg, "models"),
         opt.data,
-        hyp,
+        dict(hyp),
         epochs=opt.epochs,
         batch_size=opt.batch_size,
         img_size=opt.imgsz,
@@ -64,7 +88,7 @@ def main(argv=None):
         adam=opt.adam,
         linear_lr=opt.linear_lr,
         workers=opt.workers,
-        out_dir=str(out),
+        out_dir=out_dir,
         max_targets=opt.max_targets,
         dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
         spatial=opt.spatial_shard,
@@ -75,8 +99,6 @@ def main(argv=None):
         resume_from=opt.resume if opt.resume and opt.resume != "auto" else None,
         pretrained=opt.weights or None,
     )
-    print(f"training -> {out}")
-    return trainer.train()
 
 
 if __name__ == "__main__":

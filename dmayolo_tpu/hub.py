@@ -1,0 +1,190 @@
+"""Hub API: one-call model loading + input-robust inference wrapper.
+
+Reference surface: hubconf.py:13-143 (torch.hub entrypoints) and
+models/common.py:701-891 (AutoShape preprocess+infer+NMS wrapper and the
+Detections results object with pandas/crop/render/save).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .core.nms import batched_nms
+from .data.augment import letterbox
+from .eval.validator import _scale_to_native
+from .graph import DetectionModel
+from .nn.fuse import fuse_params
+
+
+def load(weights: Optional[str] = None, cfg: str = "yolov5s.yaml",
+         nc: Optional[int] = None, names=None, device: Optional[str] = None):
+    """Load a model as an AutoShape end-to-end callable.
+
+    weights: npz checkpoint (uses its cfg/nc meta when present);
+    cfg: bundled config name or path (used when no weights given).
+    """
+    if device:
+        jax.config.update("jax_platforms", device)
+    from .cli.common import load_model_from_checkpoint
+
+    model, params, stats = load_model_from_checkpoint(weights, cfg, nc=nc)
+    params, stats = fuse_params(model, params, stats)
+    return AutoShape(model, params, stats, names=names)
+
+
+class AutoShape:
+    """Robust-input preprocess + inference + NMS wrapper.
+    ref: models/common.py:701-793."""
+
+    conf = 0.25
+    iou = 0.45
+    max_det = 1000
+    multi_label = False
+
+    def __init__(self, model: DetectionModel, params, stats, names=None,
+                 dtype=jnp.bfloat16):
+        self.model = model
+        self.params = params
+        self.stats = stats
+        self.names = names or [str(i) for i in range(model.nc)]
+        self.dtype = dtype
+        self._infer_cache = {}
+
+    def _infer(self, shape):
+        if shape not in self._infer_cache:
+            model, params, stats, dtype = self.model, self.params, self.stats, self.dtype
+
+            @jax.jit
+            def fn(x):
+                dec = model.decode(model.apply(params, stats, x.astype(dtype) / 255.0,
+                                               dtype=dtype, fused=True))
+                if dec.shape[-1] == model.nc + 4:
+                    dec = jnp.concatenate(
+                        [dec[..., :4], jnp.ones_like(dec[..., :1]), dec[..., 4:]], -1
+                    )
+                return batched_nms(dec, conf_thres=self.conf, iou_thres=self.iou,
+                                   multi_label=self.multi_label, max_det=self.max_det)
+
+            self._infer_cache[shape] = fn
+        return self._infer_cache[shape]
+
+    @staticmethod
+    def _to_rgb_array(im) -> np.ndarray:
+        if isinstance(im, (str, Path)):
+            import cv2
+
+            arr = cv2.imread(str(im))
+            assert arr is not None, f"unreadable image {im}"
+            return arr[:, :, ::-1]  # BGR -> RGB
+        if hasattr(im, "convert"):  # PIL
+            return np.asarray(im.convert("RGB"))
+        arr = np.asarray(im)
+        if arr.ndim == 3 and arr.shape[0] < 5:  # CHW
+            arr = arr.transpose(1, 2, 0)
+        if arr.ndim == 2:
+            arr = np.tile(arr[..., None], 3)
+        return arr[..., :3]
+
+    def __call__(self, imgs, size: int = 640):
+        single = not isinstance(imgs, (list, tuple))
+        items = [imgs] if single else list(imgs)
+        arrays = [self._to_rgb_array(im) for im in items]
+        shapes0 = [a.shape[:2] for a in arrays]
+        gs = int(self.model.stride.max())
+        size = int(np.ceil(size / gs) * gs)
+
+        lbs = [letterbox(a, size, auto=False, stride=gs)[0] for a in arrays]
+        x = np.stack(lbs).astype(np.uint8)
+        dets, valid = self._infer(x.shape)(jnp.asarray(x))
+        dets, valid = np.asarray(dets), np.asarray(valid)
+        per_img = []
+        for i, s0 in enumerate(shapes0):
+            d = dets[i][valid[i]].copy()
+            d[:, :4] = _scale_to_native(d[:, :4], x.shape[1:3], s0)
+            per_img.append(d)
+        return Detections(arrays, per_img, [str(i) for i in range(len(items))], self.names)
+
+
+class Detections:
+    """Inference results: print/pandas/crop/render/save.
+    ref: models/common.py:795-891."""
+
+    def __init__(self, imgs: List[np.ndarray], dets: List[np.ndarray], files, names):
+        self.imgs = imgs
+        self.xyxy = dets  # list of (n, 6) [xyxy, conf, cls]
+        self.files = files
+        self.names = names
+        self.n = len(imgs)
+
+    def __len__(self):
+        return self.n
+
+    def pandas(self):
+        """DataFrame per image with xmin/ymin/xmax/ymax/confidence/class/name."""
+        import pandas as pd
+
+        out = []
+        for d in self.xyxy:
+            rows = [
+                dict(
+                    xmin=float(x1), ymin=float(y1), xmax=float(x2), ymax=float(y2),
+                    confidence=float(c), **{"class": int(k)}, name=self.names[int(k)],
+                )
+                for x1, y1, x2, y2, c, k in d
+            ]
+            out.append(pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax",
+                                                   "confidence", "class", "name"]))
+        return out[0] if self.n == 1 else out
+
+    def print(self):
+        for i, d in enumerate(self.xyxy):
+            counts = {}
+            for *_, k in d:
+                counts[self.names[int(k)]] = counts.get(self.names[int(k)], 0) + 1
+            summary = ", ".join(f"{v} {k}" for k, v in counts.items()) or "no detections"
+            print(f"image {i + 1}/{self.n}: {self.imgs[i].shape[1]}x{self.imgs[i].shape[0]} {summary}")
+
+    def render(self):
+        """Draw boxes onto copies of the images; returns list of RGB arrays."""
+        import cv2
+
+        out = []
+        for im, d in zip(self.imgs, self.xyxy):
+            im = np.ascontiguousarray(im.copy())
+            for x1, y1, x2, y2, conf, k in d:
+                cv2.rectangle(im, (int(x1), int(y1)), (int(x2), int(y2)), (255, 60, 60), 2)
+                cv2.putText(im, f"{self.names[int(k)]} {conf:.2f}",
+                            (int(x1), max(int(y1) - 4, 8)),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 60, 60), 1)
+            out.append(im)
+        return out
+
+    def save(self, save_dir="runs/hub"):
+        import cv2
+
+        save_dir = Path(save_dir)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        for i, im in enumerate(self.render()):
+            cv2.imwrite(str(save_dir / f"{self.files[i]}.jpg"), im[:, :, ::-1])
+        return save_dir
+
+    def crop(self, save_dir=None):
+        """Per-detection crops (optionally saved)."""
+        import cv2
+
+        crops = []
+        for im, d in zip(self.imgs, self.xyxy):
+            for j, (x1, y1, x2, y2, conf, k) in enumerate(d):
+                crop = im[int(y1):int(y2), int(x1):int(x2)]
+                crops.append({"box": (x1, y1, x2, y2), "conf": conf,
+                              "cls": int(k), "label": self.names[int(k)], "im": crop})
+                if save_dir:
+                    p = Path(save_dir) / self.names[int(k)]
+                    p.mkdir(parents=True, exist_ok=True)
+                    cv2.imwrite(str(p / f"crop{len(crops)}.jpg"), crop[:, :, ::-1])
+        return crops

@@ -26,7 +26,9 @@ from ..eval.validator import run_validation
 from ..graph import DetectionModel
 from ..nn.heads import Detect, TDetect
 from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from ..utils.callbacks import Callbacks
 from ..utils.checkpoint import load_checkpoint, save_checkpoint, strip_checkpoint
+from ..utils.loggers import Loggers
 from .loss import ComputeLoss, Targets
 from .optim import Schedule, param_groups
 from .step import init_train_state, jit_train_step, make_train_step
@@ -191,6 +193,19 @@ class Trainer:
 
         self.out.mkdir(parents=True, exist_ok=True)
         self.csv_path = self.out / "results.csv"
+        self.loggers = Loggers(self.out)
+        self.callbacks = Callbacks()
+        # label statistics plot (ref train.py:309 plot_labels)
+        try:
+            import numpy as _np
+
+            from ..utils.plots import plot_labels
+
+            lbls = [l for l in self.train_ds.labels if len(l)]
+            if lbls:
+                plot_labels(_np.concatenate(lbls), self.data["names"], self.out)
+        except Exception:
+            pass
 
     # -------------------------------------------------------------------
     def _save(self, name: str, epoch: int):
@@ -214,12 +229,8 @@ class Trainer:
         )
 
     def _log_csv(self, row: Dict):
-        exists = self.csv_path.exists()
-        with open(self.csv_path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(row.keys()))
-            if not exists:
-                w.writeheader()
-            w.writerow(row)
+        step = row.pop("epoch")
+        self.loggers.log_metrics(row, step)
 
     def validate(self, use_ema=True):
         s = self.state
@@ -235,7 +246,9 @@ class Trainer:
         stopper = EarlyStopping(self.patience)
         rng = jax.random.PRNGKey(self.seed)
         t_start = time.time()
+        self.callbacks.run("on_train_start")
         for epoch in range(self.start_epoch, self.epochs):
+            self.callbacks.run("on_train_epoch_start")
             t0 = time.time()
             running = {}
             nb = 0
@@ -285,9 +298,13 @@ class Trainer:
                     self._save("last", epoch)
                     break
             self._save("last", epoch)
+            self.callbacks.run("on_model_save")
             row["time_s"] = time.time() - t0
             self._log_csv(row)
+            self.callbacks.run("on_fit_epoch_end", row, epoch)
 
         strip_checkpoint(self.out / "best") if (self.out / "best.npz").exists() else None
+        self.loggers.finalize()
+        self.callbacks.run("on_train_end")
         print(f"training done in {(time.time()-t_start)/3600:.2f}h; best fitness {self.best_fitness:.4f}")
         return self.best_fitness
