@@ -79,6 +79,7 @@ def nms_single(boxes, scores, iou_thres: float, max_det: int = 300):
         "agnostic",
         "max_det",
         "max_nms",
+        "backend",
     ),
 )
 def batched_nms(
@@ -90,6 +91,7 @@ def batched_nms(
     max_det: int = 300,
     max_nms: int = 4096,
     class_mask=None,
+    backend: str = "scan",
 ):
     """Full post-processing: (B, N, 5+nc) raw decode -> (B, max_det, 6) dets.
 
@@ -137,9 +139,16 @@ def batched_nms(
     offset = 0.0 if agnostic else MAX_WH
     nms_boxes = top_boxes + (top_cls * offset)[..., None]
 
-    keep_idx, keep_valid = jax.vmap(lambda bx, sc: nms_single(bx, sc, iou_thres, max_det))(
-        nms_boxes, top_scores
-    )
+    if backend == "pallas":
+        from .pallas_nms import pallas_batched_nms_core
+
+        keep_idx, keep_valid = pallas_batched_nms_core(
+            nms_boxes, top_scores, iou_thres=iou_thres, max_det=max_det
+        )
+    else:
+        keep_idx, keep_valid = jax.vmap(
+            lambda bx, sc: nms_single(bx, sc, iou_thres, max_det)
+        )(nms_boxes, top_scores)
 
     out_boxes = jnp.take_along_axis(top_boxes, keep_idx[..., None], axis=1)
     out_scores = jnp.take_along_axis(top_scores, keep_idx, axis=1)

@@ -35,6 +35,7 @@ class ValResult:
     mp: float = 0.0
     mr: float = 0.0
     map50: float = 0.0
+    map75: float = 0.0  # the val2.py extra column (ref val2.py:186-352)
     map: float = 0.0
     maps: Optional[np.ndarray] = None  # per-class AP
     speed_ms: Dict[str, float] = field(default_factory=dict)
@@ -43,7 +44,7 @@ class ValResult:
     def summary(self) -> str:
         return (
             f"P={self.mp:.4f} R={self.mr:.4f} mAP@.5={self.map50:.4f} "
-            f"mAP@.5:.95={self.map:.4f} ({self.nt} labels)"
+            f"mAP@.75={self.map75:.4f} mAP@.5:.95={self.map:.4f} ({self.nt} labels)"
         )
 
 
@@ -197,9 +198,10 @@ def run_validation(
     res.speed_ms = {"inference+nms": 1000 * t_infer / max(n_img, 1)}
     if tp.size and tcls.size:
         p, r, ap, f1, classes = ap_per_class(tp, conf, pred_cls, tcls)
-        ap50, ap_mean = ap[:, 0], ap.mean(1)
+        ap50, ap75, ap_mean = ap[:, 0], ap[:, 5], ap.mean(1)
         res.mp, res.mr = float(p.mean()), float(r.mean())
-        res.map50, res.map = float(ap50.mean()), float(ap_mean.mean())
+        res.map50, res.map75 = float(ap50.mean()), float(ap75.mean())
+        res.map = float(ap_mean.mean())
         maps = np.zeros(nc)
         maps[classes] = ap_mean
         res.maps = maps
