@@ -43,6 +43,8 @@ def build_parser():
     p.add_argument("--device", type=str, default=None, help="cpu|tpu (default: auto)")
     p.add_argument("--evolve", type=int, nargs="?", const=300, default=0,
                    help="evolve hyperparameters for N generations")
+    p.add_argument("--multi-scale", action="store_true", help="bucketed random train sizes")
+    p.add_argument("--image-weights", action="store_true", help="class-mAP weighted image sampling")
     return p
 
 
@@ -96,6 +98,8 @@ def _make_trainer(opt, hyp, out_dir):
         patience=opt.patience,
         train_ungrouped=opt.train_ungrouped,
         autoanchor=not opt.noautoanchor,
+        multi_scale=opt.multi_scale,
+        image_weights=opt.image_weights,
         resume_from=opt.resume if opt.resume and opt.resume != "auto" else None,
         pretrained=opt.weights or None,
     )

@@ -65,10 +65,19 @@ class DataLoader:
         n = len(self.ds)
         return n // self.bs if self.drop_last else -(-n // self.bs)
 
+    sample_weights = None  # optional per-image sampling weights (image_weights mode)
+
     def _batches(self) -> Iterator[list]:
-        order = np.arange(len(self.ds))
-        if self.shuffle:
-            self.rng.shuffle(order)
+        n = len(self.ds)
+        if self.sample_weights is not None:
+            # ref train.py:376-384: resample indices by image weights
+            w = np.asarray(self.sample_weights, np.float64)
+            w = w / w.sum()
+            order = self.rng.choice(n, size=n, replace=True, p=w)
+        else:
+            order = np.arange(n)
+            if self.shuffle:
+                self.rng.shuffle(order)
         nb = len(self)
         for i in range(nb):
             yield order[i * self.bs : (i + 1) * self.bs].tolist()

@@ -199,3 +199,13 @@ def labels_to_class_weights(labels, nc: int):
     weights[weights == 0] = 1
     weights = 1 / weights
     return weights / weights.sum()
+
+
+def labels_to_image_weights(labels, nc: int, class_weights) -> np.ndarray:
+    """Per-image sampling weight from its class content.
+    ref: utils/general.py:183-189."""
+    counts = np.array(
+        [np.bincount(l[:, 0].astype(int), minlength=nc) for l in labels],
+        dtype=np.float64,
+    ) if len(labels) else np.zeros((0, nc))
+    return (np.asarray(class_weights).reshape(1, nc) * counts).sum(1) + 1e-6

@@ -76,6 +76,8 @@ class Trainer:
         train_ungrouped: bool = False,
         warmup_min_iters: int = 1000,
         autoanchor: bool = False,
+        multi_scale: bool = False,
+        image_weights: bool = False,
         resume_from: Optional[str] = None,
         pretrained: Optional[str] = None,
     ):
@@ -94,6 +96,8 @@ class Trainer:
         self.seed = seed
         self.patience = patience
         self.val_interval = val_interval
+        self.multi_scale = multi_scale
+        self.image_weights = image_weights
 
         self.data = check_dataset(data)
         nc = self.data["nc"]
@@ -113,6 +117,8 @@ class Trainer:
         h["cls"] = h.get("cls", 0.5) * nc / 80 * 3 / nl
         h["obj"] = h.get("obj", 1.0) * (img_size / 640) ** 2 * 3 / nl
 
+        from .optim import labels_to_class_weights  # noqa: F401 (used below)
+
         self.accumulate = max(round(NBS / batch_size), 1)
         self.weight_decay = h.get("weight_decay", 5e-4) * batch_size * self.accumulate / NBS
 
@@ -127,6 +133,8 @@ class Trainer:
             workers=workers, seed=seed,
         )
         self.steps_per_epoch = len(self.train_loader)
+        self.class_weights = labels_to_class_weights(self.train_ds.labels, nc)
+        self.maps = np.zeros(nc)  # per-class mAP for image-weight resampling
 
         # autoanchor before the loss captures head.anchors (ref train.py:318)
         if autoanchor and assignment == "anchor":
@@ -153,8 +161,11 @@ class Trainer:
             self.model, self.loss, self.sched, labels,
             weight_decay=self.weight_decay, adam=adam, dtype=dtype,
         )
-        on_tpu = jax.devices()[0].platform not in ("cpu",)
-        self.jstep = jit_train_step(step, mesh=self.mesh, spatial=spatial, donate=on_tpu)
+        # donation is disabled everywhere: XLA CPU deadlocks on donated
+        # buffers feeding collectives, and the axon TPU backend fails with
+        # INVALID_ARGUMENT when the train step donates its state (verified
+        # by per-case bisect). Revisit when the backend matures.
+        self.jstep = jit_train_step(step, mesh=self.mesh, spatial=spatial, donate=False)
 
         # init / resume
         params, stats = self.model.init_with_priors(jax.random.PRNGKey(seed))
@@ -252,11 +263,36 @@ class Trainer:
             t0 = time.time()
             running = {}
             nb = 0
+            if self.image_weights:
+                # ref train.py:376-384
+                from .optim import labels_to_image_weights
+
+                cw = self.class_weights * (1 - self.maps) ** 2 / self.nc
+                self.train_loader.sample_weights = labels_to_image_weights(
+                    self.train_ds.labels, self.nc, cw
+                )
+            import random as _random
+
+            _ms_rng = _random.Random(self.seed + epoch)
+            gs = int(self.model.stride.max())
             with self.mesh:
                 self.state = replicate_tree(self.mesh, self.state)
                 for batch in self.train_loader:
                     rng, sub = jax.random.split(rng)
-                    imgs = shard_batch(self.mesh, jnp.asarray(batch.images), spatial=self.spatial)
+                    images = batch.images
+                    if self.multi_scale:
+                        # bucketed random resize (ref train.py:425-431); a
+                        # small bucket set bounds XLA recompiles
+                        import cv2 as _cv2
+
+                        scale = _ms_rng.choice([0.5, 0.75, 1.0, 1.25, 1.5])
+                        sz = int(round(self.img_size * scale / gs) * gs)
+                        if sz != images.shape[1]:
+                            images = np.stack([
+                                _cv2.resize(im, (sz, sz), interpolation=_cv2.INTER_LINEAR)
+                                for im in images
+                            ])
+                    imgs = shard_batch(self.mesh, jnp.asarray(images), spatial=self.spatial)
                     tgt = Targets(
                         *(
                             jax.device_put(jnp.asarray(t), NamedSharding(self.mesh, P("data")))
@@ -277,6 +313,8 @@ class Trainer:
             row = {"epoch": epoch, **{f"train/{k}": v for k, v in running.items()}}
             if (epoch + 1) % self.val_interval == 0 or epoch == self.epochs - 1:
                 res = self.validate()
+                if res.maps is not None:
+                    self.maps = res.maps
                 print(f"epoch {epoch} val: {res.summary()}", flush=True)
                 fi = float(
                     fitness(np.array([[res.mp, res.mr, res.map50, res.map]]))[0]
