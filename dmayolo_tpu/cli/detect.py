@@ -105,7 +105,10 @@ def main(argv=None):
             agnostic=opt.agnostic_nms, max_det=opt.max_det, class_mask=class_mask,
         )
 
-    files = _gather_sources(Path(opt.source))
+    src = Path(opt.source)
+    if src.suffix.lower() in VID_EXTS or str(opt.source).isdigit() or "://" in str(opt.source):
+        return _run_video(opt, infer, names, out)
+    files = _gather_sources(src)
     assert files, f"no inputs in {opt.source}"
     bs = min(opt.batch_size, len(files))
     gs = int(model.stride.max())
@@ -156,3 +159,54 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _run_video(opt, infer, names, out):
+    """Video file / webcam index / stream URL inference (reference
+    LoadImages video branch + LoadStreams, datasets.py:158-367)."""
+    import cv2
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ..data.augment import letterbox
+    from ..eval.validator import _scale_to_native
+
+    src = int(opt.source) if str(opt.source).isdigit() else opt.source
+    cap = cv2.VideoCapture(src)
+    assert cap.isOpened(), f"cannot open {opt.source}"
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30
+    w0 = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h0 = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    writer = None
+    if not opt.nosave and isinstance(src, str):
+        out_path = str(out / (Path(opt.source).stem + "_det.mp4"))
+        writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w0, h0))
+
+    n = 0
+    import time as _time
+
+    t0 = _time.perf_counter()
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        lb = letterbox(frame, opt.imgsz, auto=False)[0]
+        x = cv2.cvtColor(lb, cv2.COLOR_BGR2RGB)[None]
+        dets, valid = infer(jnp.asarray(np.broadcast_to(x, (max(1, 1),) + x.shape[1:]).copy()))
+        d = np.asarray(dets)[0][np.asarray(valid)[0]]
+        d[:, :4] = _scale_to_native(d[:, :4], lb.shape[:2], frame.shape[:2])
+        for x1, y1, x2, y2, conf, cls in d:
+            c = int(cls)
+            color = PALETTE[c % len(PALETTE)]
+            cv2.rectangle(frame, (int(x1), int(y1)), (int(x2), int(y2)), color, opt.line_thickness)
+            cv2.putText(frame, f"{names[c]} {conf:.2f}", (int(x1), int(y1) - 4),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2)
+        if writer is not None:
+            writer.write(frame)
+        n += 1
+    if writer is not None:
+        writer.release()
+    cap.release()
+    dt = _time.perf_counter() - t0
+    print(f"video: {n} frames in {dt:.1f}s ({n/max(dt,1e-9):.1f} FPS) -> {out}")
+    return out

@@ -21,7 +21,7 @@ def build_parser():
     p.add_argument("--conf-thres", type=float, default=0.001)
     p.add_argument("--iou-thres", type=float, default=0.6)
     p.add_argument("--max-det", type=int, default=300)
-    p.add_argument("--task", type=str, default="val", choices=["val", "test", "speed"])
+    p.add_argument("--task", type=str, default="val", choices=["val", "test", "speed", "study"])
     p.add_argument("--augment", action="store_true", help="TTA")
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--save-conf", action="store_true")
@@ -58,6 +58,26 @@ def main(argv=None):
     split = data.get(opt.task if opt.task in ("val", "test") else "val") or data["val"]
     if opt.task == "speed":
         opt.conf_thres, opt.iou_thres = 0.25, 0.45
+    if opt.task == "study":
+        # mAP/speed across image sizes (ref val.py:416-435)
+        rows = []
+        for sz in range(256, opt.imgsz + 128, 128):
+            r = run_validation(
+                model, params, stats, split, img_size=sz, batch_size=opt.batch_size,
+                nc=data["nc"], conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+                max_det=opt.max_det,
+                dtype=jnp.float32 if opt.fp32 else jnp.bfloat16, fused=fused,
+            )
+            rows.append((sz, r.mp, r.mr, r.map50, r.map, r.speed_ms.get("inference+nms", 0)))
+            print(f"study {sz}px: {r.summary()} {r.speed_ms}")
+        import csv as _csv
+
+        with open(out / "study.csv", "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["imgsz", "P", "R", "mAP50", "mAP", "ms_img"])
+            w.writerows(rows)
+        print(f"study -> {out/'study.csv'}")
+        return rows
 
     res = run_validation(
         model, params, stats, split,
