@@ -24,8 +24,11 @@ def main():
     from dmayolo_tpu.graph import DetectionModel
     from dmayolo_tpu.nn.fuse import fuse_params
 
-    cfg = "/root/reference/models/ablation-ca-scconv-sppfcspc.yaml"
-    batch, img = 32, 640
+    from pathlib import Path
+
+    cfg = str(Path(__file__).resolve().parent
+              / "dmayolo_tpu/configs/models/ablation-ca-scconv-sppfcspc.yaml")
+    batch, img = 64, 640
 
     model = DetectionModel(cfg, nc=10)
     params, stats = model.init_with_priors(jax.random.PRNGKey(0))
@@ -55,7 +58,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "flagship_bf16_batch32_640px_infer",
+                "metric": "flagship_bf16_batch64_640px_infer",
                 "value": round(img_s, 2),
                 "unit": "img/s",
                 "vs_baseline": round(img_s / BASELINE_IMG_S, 4),

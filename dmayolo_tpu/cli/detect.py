@@ -90,12 +90,12 @@ def main(argv=None):
         class_mask = jnp.asarray(np.isin(np.arange(model.nc), opt.classes))
 
     @jax.jit
-    def infer(x):
+    def _infer(p, s, x):
         xf = x.astype(jnp.bfloat16) / 255.0
         if opt.augment:
-            dec = forward_augment(model, params, stats, xf, dtype=jnp.bfloat16, fused=True)
+            dec = forward_augment(model, p, s, xf, dtype=jnp.bfloat16, fused=True)
         else:
-            dec = model.decode(model.apply(params, stats, xf, dtype=jnp.bfloat16, fused=True))
+            dec = model.decode(model.apply(p, s, xf, dtype=jnp.bfloat16, fused=True))
         if dec.shape[-1] == model.nc + 4:
             dec = jnp.concatenate(
                 [dec[..., :4], jnp.ones_like(dec[..., :1]), dec[..., 4:]], axis=-1
@@ -104,6 +104,9 @@ def main(argv=None):
             dec, conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
             agnostic=opt.agnostic_nms, max_det=opt.max_det, class_mask=class_mask,
         )
+
+    def infer(x):  # params as jit args, not baked constants
+        return _infer(params, stats, x)
 
     src = Path(opt.source)
     if src.suffix.lower() in VID_EXTS or str(opt.source).isdigit() or "://" in str(opt.source):

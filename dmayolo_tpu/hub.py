@@ -56,12 +56,14 @@ class AutoShape:
         self._infer_cache = {}
 
     def _infer(self, shape):
+        # params passed as jit args (closure capture would embed them as
+        # program constants — huge executables for big models)
         if shape not in self._infer_cache:
-            model, params, stats, dtype = self.model, self.params, self.stats, self.dtype
+            model, dtype = self.model, self.dtype
 
             @jax.jit
-            def fn(x):
-                dec = model.decode(model.apply(params, stats, x.astype(dtype) / 255.0,
+            def fn(p, s, x):
+                dec = model.decode(model.apply(p, s, x.astype(dtype) / 255.0,
                                                dtype=dtype, fused=True))
                 if dec.shape[-1] == model.nc + 4:
                     dec = jnp.concatenate(
@@ -70,7 +72,7 @@ class AutoShape:
                 return batched_nms(dec, conf_thres=self.conf, iou_thres=self.iou,
                                    multi_label=self.multi_label, max_det=self.max_det)
 
-            self._infer_cache[shape] = fn
+            self._infer_cache[shape] = lambda x: fn(self.params, self.stats, x)
         return self._infer_cache[shape]
 
     @staticmethod
