@@ -21,6 +21,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from dmayolo_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from dmayolo_tpu.graph import DetectionModel
     from dmayolo_tpu.nn.fuse import fuse_params
 

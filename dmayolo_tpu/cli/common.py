@@ -61,7 +61,24 @@ def load_model_from_checkpoint(weights, cfg=None, nc=None):
 def setup_device(device: str | None):
     """Select the JAX platform. NB the JAX_PLATFORMS env var is ignored when
     the axon TPU plugin is installed — config.update is authoritative."""
-    if device:
-        import jax
+    import jax
 
+    enable_compilation_cache()
+    if device:
         jax.config.update("jax_platforms", device)
+
+
+def enable_compilation_cache(path: str = "~/.cache/dmayolo_jax"):
+    """Persistent XLA compilation cache — first compiles of big models over
+    the TPU tunnel take minutes; cached reruns are instant."""
+    import os
+
+    import jax
+
+    d = os.path.expanduser(path)
+    os.makedirs(d, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass

@@ -73,7 +73,7 @@ def box_candidates(box1, box2, wh_thr=2, ar_thr=20, area_thr=0.1, eps=1e-16):
 
 def random_perspective(im, targets=np.zeros((0, 5)), degrees=10, translate=0.1,
                        scale=0.1, shear=10, perspective=0.0, border=(0, 0),
-                       rng: random.Random = random):
+                       rng: random.Random = random, segments=None):
     """Combined centre/perspective/rotate/scale/shear/translate warp of image
     + xyxy boxes.  ref: utils/augmentations.py:125-211."""
     height = im.shape[0] + border[0] * 2
@@ -109,6 +109,20 @@ def random_perspective(im, targets=np.zeros((0, 5)), degrees=10, translate=0.1,
 
     n = len(targets)
     if n:
+        use_segments = segments is not None and len(segments) == n and any(len(s) for s in segments)
+        if use_segments:  # warp polygons (ref augmentations.py:180-192)
+            segments = resample_segments(segments)
+            new = np.zeros((n, 4))
+            for i, seg in enumerate(segments):
+                xy = np.ones((len(seg), 3))
+                xy[:, :2] = seg
+                xy = xy @ M.T
+                xy = xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]
+                new[i] = segment2box(xy, width, height)
+            keep = box_candidates(box1=targets[:, 1:5].T * s, box2=new.T, area_thr=0.01)
+            targets = targets[keep]
+            targets[:, 1:5] = new[keep]
+            return im, targets
         xy = np.ones((n * 4, 3))
         xy[:, :2] = targets[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
         xy = xy @ M.T
@@ -122,6 +136,68 @@ def random_perspective(im, targets=np.zeros((0, 5)), degrees=10, translate=0.1,
         targets = targets[keep]
         targets[:, 1:5] = new[keep]
     return im, targets
+
+
+def segment2box(segment, width=640, height=640):
+    """Polygon -> clipped xyxy box.  ref: utils/general.py:579-585."""
+    x, y = segment.T
+    inside = (x >= 0) & (y >= 0) & (x <= width) & (y <= height)
+    x, y = x[inside], y[inside]
+    return (np.array([x.min(), y.min(), x.max(), y.max()])
+            if x.size else np.zeros(4))
+
+
+def segments2boxes(segments):
+    """Polygons -> (n, 4) xywh boxes.  ref: utils/general.py:587-593."""
+    boxes = []
+    for seg in segments:
+        x, y = seg.T
+        boxes.append([x.min(), y.min(), x.max(), y.max()])
+    b = np.asarray(boxes, np.float32)
+    out = np.empty_like(b)
+    out[:, 0] = (b[:, 0] + b[:, 2]) / 2
+    out[:, 1] = (b[:, 1] + b[:, 3]) / 2
+    out[:, 2] = b[:, 2] - b[:, 0]
+    out[:, 3] = b[:, 3] - b[:, 1]
+    return out
+
+
+def resample_segments(segments, n=1000):
+    """Upsample each (m, 2) polygon to n points.  ref: general.py:596-602."""
+    out = []
+    for seg in segments:
+        seg = np.concatenate((seg, seg[0:1]), 0)
+        x = np.linspace(0, len(seg) - 1, n)
+        xp = np.arange(len(seg))
+        out.append(
+            np.stack([np.interp(x, xp, seg[:, i]) for i in range(2)], -1)
+        )
+    return out
+
+
+def copy_paste(im, labels, segments, p=0.5, rng: random.Random = random):
+    """Segment flip-paste augmentation (IOA < 0.30 gate).
+    ref: utils/augmentations.py:214-235."""
+    n = len(segments)
+    if p and n:
+        import cv2
+
+        h, w = im.shape[:2]
+        im_new = np.zeros(im.shape, np.uint8)
+        for j in rng.sample(range(n), k=round(p * n)):
+            l, seg = labels[j], segments[j]
+            box = np.array([w - l[3], l[2], w - l[1], l[4]])
+            ioa = _bbox_ioa(box, labels[:, 1:5])
+            if (ioa < 0.30).all():
+                labels = np.concatenate((labels, [[l[0], *box]]), 0)
+                segments.append(np.concatenate((w - seg[:, 0:1], seg[:, 1:2]), 1))
+                cv2.drawContours(im_new, [segments[j].astype(np.int32)], -1,
+                                 (255, 255, 255), cv2.FILLED)
+        result = cv2.bitwise_and(src1=im, src2=im_new)
+        result = cv2.flip(result, 1)
+        mask = result > 0
+        im[mask] = result[mask]
+    return im, labels, segments
 
 
 def mixup(im, labels, im2, labels2, rng: random.Random = random):

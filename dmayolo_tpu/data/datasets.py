@@ -23,7 +23,8 @@ import cv2
 import numpy as np
 import yaml
 
-from .augment import augment_hsv, flip_lr, flip_ud, letterbox, mixup, random_perspective
+from .augment import (augment_hsv, copy_paste, flip_lr, flip_ud, letterbox,
+                      mixup, random_perspective, segments2boxes)
 
 IMG_FORMATS = {"bmp", "jpg", "jpeg", "png", "tif", "tiff", "dng", "webp", "mpo"}
 
@@ -99,10 +100,18 @@ def verify_image_label(im_file: str, lb_file: str, nc: int):
         shape = im.shape[:2]
         if shape[0] < 10 or shape[1] < 10:
             return None, f"image too small {shape}"
+        segments = []
         if os.path.isfile(lb_file):
             with open(lb_file) as f:
                 lb = [x.split() for x in f.read().strip().splitlines() if len(x)]
-            lb = np.array(lb, dtype=np.float32) if lb else np.zeros((0, 5), np.float32)
+            if any(len(x) > 6 for x in lb):  # polygon rows: cls + xy pairs
+                classes = np.array([x[0] for x in lb], np.float32)
+                segments = [np.array(x[1:], np.float32).reshape(-1, 2) for x in lb]
+                lb = np.concatenate(
+                    (classes.reshape(-1, 1), segments2boxes(segments)), 1
+                )
+            else:
+                lb = np.array(lb, dtype=np.float32) if lb else np.zeros((0, 5), np.float32)
             if len(lb):
                 if lb.shape[1] != 5:
                     return None, f"labels require 5 columns, got {lb.shape[1]}"
@@ -117,7 +126,7 @@ def verify_image_label(im_file: str, lb_file: str, nc: int):
                     lb = lb[np.sort(idx)]
         else:
             lb = np.zeros((0, 5), np.float32)
-        return (im_file, lb, shape), None
+        return (im_file, lb, shape, segments), None
     except Exception as e:  # corrupt file
         return None, f"{im_file}: {e}"
 
@@ -125,7 +134,7 @@ def verify_image_label(im_file: str, lb_file: str, nc: int):
 class DetectionDataset:
     """Training/eval dataset with mosaic pipeline."""
 
-    CACHE_VERSION = "dmayolo-0.1"
+    CACHE_VERSION = "dmayolo-0.2"
 
     def __init__(self, path, img_size=640, augment=False, hyp: Optional[Dict] = None,
                  rect=False, stride=32, pad=0.0, nc=80, batch_size=16,
@@ -162,19 +171,23 @@ class DetectionDataset:
             try:
                 z = np.load(cache_path, allow_pickle=True)
                 if str(z["version"]) == self.CACHE_VERSION and str(z["hash"]) == h:
+                    segs = list(z["segments"]) if "segments" in z.files else [[] for _ in z["labels"]]
+                    self.segments = segs
                     return list(z["labels"]), z["shapes"]
             except Exception:
                 pass
-        labels, shapes, ok_files, ok_labels = [], [], [], []
+        labels, shapes, ok_files, ok_labels, all_segs = [], [], [], [], []
         for im_f, lb_f in zip(self.im_files, self.label_files):
             res, msg = verify_image_label(im_f, lb_f, self.nc)
             if res is None:
                 continue
-            _, lb, shape = res
+            _, lb, shape, segs = res
             ok_files.append(im_f)
             ok_labels.append(lb_f)
             labels.append(lb)
             shapes.append(shape)
+            all_segs.append(segs)
+        self.segments = all_segs
         self.im_files, self.label_files = ok_files, ok_labels
         shapes = np.array(shapes, np.int64)
         if cache_path:
@@ -182,6 +195,7 @@ class DetectionDataset:
                 np.savez(
                     cache_path.with_suffix(""), version=self.CACHE_VERSION, hash=h,
                     labels=np.array(labels, dtype=object), shapes=shapes,
+                    segments=np.array(self.segments, dtype=object),
                 )
             except Exception:
                 pass
@@ -198,6 +212,7 @@ class DetectionDataset:
         self.im_files = [self.im_files[i] for i in irect]
         self.label_files = [self.label_files[i] for i in irect]
         self.labels = [self.labels[i] for i in irect]
+        self.segments = [self.segments[i] for i in irect]
         self.shapes = s[irect]
         ar = ar[irect]
         shapes = [[1, 1]] * nb
@@ -236,7 +251,7 @@ class DetectionDataset:
         xc = int(self.rng.uniform(-self.mosaic_border[1], 2 * s + self.mosaic_border[1]))
         indices = [index] + self.rng.choices(self.indices, k=3)
         self.rng.shuffle(indices)
-        labels4 = []
+        labels4, segments4 = [], []
         im4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
         for i, idx in enumerate(indices):
             img, _, (h, w) = self.load_image(idx)
@@ -255,11 +270,21 @@ class DetectionDataset:
             im4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
             padw, padh = x1a - x1b, y1a - y1b
             lb = self.labels[idx].copy()
+            segs = [sg.copy() for sg in self.segments[idx]] if self.segments[idx] else []
             if len(lb):
                 lb[:, 1:] = _xywhn2xyxy_np(lb[:, 1:], w, h, padw, padh)
+                for sg in segs:
+                    sg[:, 0] = sg[:, 0] * w + padw
+                    sg[:, 1] = sg[:, 1] * h + padh
             labels4.append(lb)
+            segments4.extend(segs)
         labels4 = np.concatenate(labels4, 0) if labels4 else np.zeros((0, 5), np.float32)
         np.clip(labels4[:, 1:], 0, 2 * s, out=labels4[:, 1:])
+        for sg in segments4:
+            np.clip(sg, 0, 2 * s, out=sg)
+        im4, labels4, segments4 = copy_paste(
+            im4, labels4, segments4, p=self.hyp.get("copy_paste", 0.0), rng=self.rng
+        )
         im4, labels4 = random_perspective(
             im4,
             labels4,
@@ -270,6 +295,7 @@ class DetectionDataset:
             perspective=self.hyp.get("perspective", 0.0),
             border=self.mosaic_border,
             rng=self.rng,
+            segments=segments4 if segments4 else None,
         )
         return im4, labels4
 
