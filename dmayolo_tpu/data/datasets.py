@@ -299,6 +299,74 @@ class DetectionDataset:
         )
         return im4, labels4
 
+    def load_mosaic9(self, index: int):
+        """9-image mosaic.  ref: datasets.py:750-808."""
+        s = self.img_size
+        indices = [index] + self.rng.choices(self.indices, k=8)
+        self.rng.shuffle(indices)
+        labels9, segments9 = [], []
+        im9 = np.full((s * 3, s * 3, 3), 114, np.uint8)
+        hp = wp = h0 = w0 = 0
+        for i, idx in enumerate(indices):
+            img, _, (h, w) = self.load_image(idx)
+            if i == 0:  # center
+                h0, w0 = h, w
+                c = (s, s, s + w, s + h)
+            elif i == 1:  # top
+                c = (s, s - h, s + w, s)
+            elif i == 2:  # top right
+                c = (s + wp, s - h, s + wp + w, s)
+            elif i == 3:  # right
+                c = (s + w0, s, s + w0 + w, s + h)
+            elif i == 4:  # bottom right
+                c = (s + w0, s + hp, s + w0 + w, s + hp + h)
+            elif i == 5:  # bottom
+                c = (s + w0 - w, s + h0, s + w0, s + h0 + h)
+            elif i == 6:  # bottom left
+                c = (s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h)
+            elif i == 7:  # left
+                c = (s - w, s + h0 - h, s, s + h0)
+            else:  # top left
+                c = (s - w, s + h0 - hp - h, s, s + h0 - hp)
+            padx, pady = c[:2]
+            x1, y1, x2, y2 = (max(v, 0) for v in c)
+            lb = self.labels[idx].copy()
+            segs = [sg.copy() for sg in self.segments[idx]] if self.segments[idx] else []
+            if lb.size:
+                lb[:, 1:] = _xywhn2xyxy_np(lb[:, 1:], w, h, padx, pady)
+                for sg in segs:
+                    sg[:, 0] = sg[:, 0] * w + padx
+                    sg[:, 1] = sg[:, 1] * h + pady
+            labels9.append(lb)
+            segments9.extend(segs)
+            im9[y1:y2, x1:x2] = img[y1 - pady :, x1 - padx :][: y2 - y1, : x2 - x1]
+            hp, wp = h, w
+
+        yc = int(self.rng.uniform(0, s))
+        xc = int(self.rng.uniform(0, s))
+        im9 = im9[yc : yc + 2 * s, xc : xc + 2 * s]
+        labels9 = np.concatenate(labels9, 0) if labels9 else np.zeros((0, 5), np.float32)
+        if labels9.size:
+            labels9[:, [1, 3]] -= xc
+            labels9[:, [2, 4]] -= yc
+        for sg in segments9:
+            sg -= np.array([xc, yc])
+        np.clip(labels9[:, 1:], 0, 2 * s, out=labels9[:, 1:])
+        for sg in segments9:
+            np.clip(sg, 0, 2 * s, out=sg)
+        im9, labels9 = random_perspective(
+            im9, labels9,
+            degrees=self.hyp.get("degrees", 0.0),
+            translate=self.hyp.get("translate", 0.1),
+            scale=self.hyp.get("scale", 0.5),
+            shear=self.hyp.get("shear", 0.0),
+            perspective=self.hyp.get("perspective", 0.0),
+            border=self.mosaic_border,
+            rng=self.rng,
+            segments=segments9 if segments9 else None,
+        )
+        return im9, labels9
+
     # -- item (ref: datasets.py:552-622) ------------------------------------
     def __len__(self):
         return self.n
@@ -306,7 +374,10 @@ class DetectionDataset:
     def __getitem__(self, index: int):
         hyp = self.hyp
         if self.mosaic and self.rng.random() < hyp.get("mosaic", 1.0):
-            img, labels = self.load_mosaic(index)
+            if self.rng.random() < hyp.get("mosaic9", 0.0):
+                img, labels = self.load_mosaic9(index)
+            else:
+                img, labels = self.load_mosaic(index)
             if self.rng.random() < hyp.get("mixup", 0.0):
                 img2, labels2 = self.load_mosaic(self.rng.choice(self.indices))
                 img, labels = mixup(img, labels, img2, labels2, self.rng)

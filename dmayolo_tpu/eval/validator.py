@@ -122,11 +122,16 @@ def run_validation(
     augment: bool = False,
     save_txt_dir: Optional[Path] = None,
     save_conf: bool = False,
+    rect: bool = False,
+    pad: float = 0.5,
 ) -> ValResult:
+    """rect=True enables the reference's aspect-sorted rectangular batches
+    (val.py:172, pad 0.5) — shapes are bucketed per batch, so XLA compiles
+    one program per distinct batch shape (bounded by the aspect spread)."""
     nc = nc if nc is not None else model.nc
     ds = DetectionDataset(
-        data_path, img_size=img_size, augment=False, rect=False,
-        stride=int(model.stride.max()), nc=nc, batch_size=batch_size,
+        data_path, img_size=img_size, augment=False, rect=rect,
+        stride=int(model.stride.max()), nc=nc, batch_size=batch_size, pad=pad,
     )
     loader = DataLoader(ds, batch_size, max_targets=max_targets, shuffle=False,
                         drop_last=False)

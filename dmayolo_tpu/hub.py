@@ -21,17 +21,26 @@ from .graph import DetectionModel
 from .nn.fuse import fuse_params
 
 
-def load(weights: Optional[str] = None, cfg: str = "yolov5s.yaml",
+def load(weights=None, cfg: str = "yolov5s.yaml",
          nc: Optional[int] = None, names=None, device: Optional[str] = None):
-    """Load a model as an AutoShape end-to-end callable.
+    """Load model(s) as an AutoShape end-to-end callable.
 
-    weights: npz checkpoint (uses its cfg/nc meta when present);
-    cfg: bundled config name or path (used when no weights given).
+    weights: npz checkpoint path, or a LIST of paths for an NMS ensemble
+    (outputs concatenated before NMS — reference Ensemble,
+    models/experimental.py:92-111); cfg: bundled config name or path.
     """
     if device:
         jax.config.update("jax_platforms", device)
     from .cli.common import load_model_from_checkpoint
 
+    if isinstance(weights, (list, tuple)) and len(weights) > 1:
+        members = []
+        for w in weights:
+            model, params, stats = load_model_from_checkpoint(w, cfg, nc=nc)
+            members.append((model,) + fuse_params(model, params, stats))
+        return AutoShapeEnsemble(members, names=names)
+    if isinstance(weights, (list, tuple)):
+        weights = weights[0] if weights else None
     model, params, stats = load_model_from_checkpoint(weights, cfg, nc=nc)
     params, stats = fuse_params(model, params, stats)
     return AutoShape(model, params, stats, names=names)
@@ -110,6 +119,45 @@ class AutoShape:
             d[:, :4] = _scale_to_native(d[:, :4], x.shape[1:3], s0)
             per_img.append(d)
         return Detections(arrays, per_img, [str(i) for i in range(len(items))], self.names)
+
+
+class AutoShapeEnsemble(AutoShape):
+    """Multi-model NMS ensemble: per-model decodes concatenated on the
+    candidate axis before a single NMS pass (reference Ensemble semantics,
+    models/experimental.py:92-111)."""
+
+    def __init__(self, members, names=None, dtype=jnp.bfloat16):
+        model0 = members[0][0]
+        super().__init__(model0, members[0][1], members[0][2], names=names, dtype=dtype)
+        self.members = members
+        # max stride across members governs letterbox rounding (ref
+        # attempt_load, experimental.py:150)
+        self.model.stride = max(m[0].stride.max() for m in members) * np.ones(1)
+
+    def _infer(self, shape):
+        if shape not in self._infer_cache:
+            dtype = self.dtype
+            members = self.members
+
+            @jax.jit
+            def fn(all_params, all_stats, x):
+                decs = []
+                for (model, _, _), p, s in zip(members, all_params, all_stats):
+                    dec = model.decode(model.apply(p, s, x.astype(dtype) / 255.0,
+                                                   dtype=dtype, fused=True))
+                    if dec.shape[-1] == model.nc + 4:
+                        dec = jnp.concatenate(
+                            [dec[..., :4], jnp.ones_like(dec[..., :1]), dec[..., 4:]], -1
+                        )
+                    decs.append(dec)
+                dec = jnp.concatenate(decs, axis=1)
+                return batched_nms(dec, conf_thres=self.conf, iou_thres=self.iou,
+                                   multi_label=self.multi_label, max_det=self.max_det)
+
+            ps = [m[1] for m in self.members]
+            ss = [m[2] for m in self.members]
+            self._infer_cache[shape] = lambda x: fn(ps, ss, x)
+        return self._infer_cache[shape]
 
 
 class Detections:

@@ -50,6 +50,36 @@ def focal_bce_with_logits(logits, targets, gamma: float, alpha: float = 0.25,
     return loss * alpha_factor * modulating
 
 
+def bce_blur_with_logits(logits, targets, alpha: float = 0.05, pos_weight: float = 1.0):
+    """BCEBlur: down-weights missing-label false positives.
+    ref: utils/loss.py:21-34."""
+    loss = bce_with_logits(logits, targets, pos_weight)
+    pred = jax.nn.sigmoid(logits.astype(jnp.float32))
+    dx = pred - targets
+    alpha_factor = 1 - jnp.exp((dx - 1) / (alpha + 1e-4))
+    return loss * alpha_factor
+
+
+def qfocal_bce_with_logits(logits, targets, gamma: float = 1.5, alpha: float = 0.25,
+                           pos_weight: float = 1.0):
+    """Quality focal loss.  ref: utils/loss.py:106-132."""
+    loss = bce_with_logits(logits, targets, pos_weight)
+    pred_prob = jax.nn.sigmoid(logits.astype(jnp.float32))
+    alpha_factor = targets * alpha + (1 - targets) * (1 - alpha)
+    modulating = jnp.abs(targets - pred_prob) ** gamma
+    return loss * alpha_factor * modulating
+
+
+def varifocal_with_logits(pred_score, gt_score, label, alpha: float = 0.75,
+                          gamma: float = 2.0):
+    """Varifocal loss (sum-reduced).  ref: utils/tal.py:73-85."""
+    pred_score = pred_score.astype(jnp.float32)
+    weight = (
+        alpha * jax.nn.sigmoid(pred_score) ** gamma * (1 - label) + gt_score * label
+    )
+    return jnp.sum(bce_with_logits(pred_score, gt_score) * weight)
+
+
 class Targets(NamedTuple):
     """Dense targets: cls (B, M), xywh normalised 0-1 (B, M, 4), mask (B, M)."""
 
