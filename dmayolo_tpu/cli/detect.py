@@ -38,6 +38,7 @@ def build_parser():
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--save-conf", action="store_true")
     p.add_argument("--nosave", action="store_true")
+    p.add_argument("--save-crop", action="store_true")
     p.add_argument("--agnostic-nms", action="store_true")
     p.add_argument("--augment", action="store_true")
     p.add_argument("--classes", type=int, nargs="+", default=None)
@@ -133,6 +134,7 @@ def main(argv=None):
             d = dets[i][valid[i]]
             d[:, :4] = _scale_to_native(d[:, :4], x.shape[1:3], im0.shape[:2])
             n_done += 1
+            imc = im0.copy() if opt.save_crop else None  # clean copy pre-annotation
             label_summary = {}
             for x1, y1, x2, y2, conf, cls in d:
                 c = int(cls)
@@ -145,6 +147,13 @@ def main(argv=None):
                                 cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2)
             if not opt.nosave:
                 cv2.imwrite(str(out / f.name), im0)
+            if opt.save_crop:
+                for j, (x1, y1, x2, y2, conf, cls) in enumerate(d):
+                    crop = imc[int(max(y1, 0)):int(y2), int(max(x1, 0)):int(x2)]
+                    if crop.size:
+                        cdir = out / "crops" / names[int(cls)]
+                        cdir.mkdir(parents=True, exist_ok=True)
+                        cv2.imwrite(str(cdir / f"{f.stem}_{j}.jpg"), crop)
             if opt.save_txt:
                 h, w = im0.shape[:2]
                 lines = []

@@ -44,6 +44,8 @@ def build_parser():
     p.add_argument("--evolve", type=int, nargs="?", const=300, default=0,
                    help="evolve hyperparameters for N generations")
     p.add_argument("--multi-scale", action="store_true", help="bucketed random train sizes")
+    p.add_argument("--single-cls", action="store_true", help="train as single-class")
+    p.add_argument("--cache", action="store_true", help="cache images in RAM")
     p.add_argument("--image-weights", action="store_true", help="class-mAP weighted image sampling")
     return p
 
@@ -100,6 +102,8 @@ def _make_trainer(opt, hyp, out_dir):
         autoanchor=not opt.noautoanchor,
         multi_scale=opt.multi_scale,
         image_weights=opt.image_weights,
+        single_cls=opt.single_cls,
+        cache_images=opt.cache,
         resume_from=opt.resume if opt.resume and opt.resume != "auto" else None,
         pretrained=opt.weights or None,
     )

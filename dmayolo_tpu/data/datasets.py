@@ -138,7 +138,7 @@ class DetectionDataset:
 
     def __init__(self, path, img_size=640, augment=False, hyp: Optional[Dict] = None,
                  rect=False, stride=32, pad=0.0, nc=80, batch_size=16,
-                 seed: int = 0, cache_images=False):
+                 seed: int = 0, cache_images=False, single_cls=False):
         self.img_size = img_size
         self.augment = augment
         self.hyp = hyp or {}
@@ -154,6 +154,10 @@ class DetectionDataset:
         assert self.im_files, f"no images found in {path}"
         self.label_files = img2label_paths(self.im_files)
         self.labels, self.shapes = self._load_labels()
+        if single_cls:  # ref datasets.py:456-459
+            for lb in self.labels:
+                if len(lb):
+                    lb[:, 0] = 0
         self.n = len(self.im_files)
         self.indices = list(range(self.n))
 

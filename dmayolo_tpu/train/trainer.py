@@ -78,6 +78,8 @@ class Trainer:
         autoanchor: bool = False,
         multi_scale: bool = False,
         image_weights: bool = False,
+        single_cls: bool = False,
+        cache_images: bool = False,
         resume_from: Optional[str] = None,
         pretrained: Optional[str] = None,
     ):
@@ -100,7 +102,7 @@ class Trainer:
         self.image_weights = image_weights
 
         self.data = check_dataset(data)
-        nc = self.data["nc"]
+        nc = 1 if single_cls else self.data["nc"]
         self.cfg_ref = str(cfg) if isinstance(cfg, (str, Path)) else None
         self.model = DetectionModel(cfg, nc=nc)
         self.nc = nc
@@ -125,8 +127,9 @@ class Trainer:
         # datasets/loaders
         self.train_ds = DetectionDataset(
             self.data["train"], img_size=img_size, augment=True, hyp=h,
-            stride=int(self.model.stride.max()), nc=nc, batch_size=batch_size,
-            seed=seed,
+            stride=int(self.model.stride.max()),
+            nc=self.data["nc"], batch_size=batch_size,
+            seed=seed, single_cls=single_cls, cache_images=cache_images,
         )
         self.train_loader = DataLoader(
             self.train_ds, batch_size, max_targets=max_targets, shuffle=True,

@@ -1,0 +1,142 @@
+"""Unit tests: WBF, checkpoint roundtrip, evolution mutation, schedules,
+fuse_params numerics, callbacks."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dmayolo_tpu.core.wbf import weighted_boxes_fusion
+from dmayolo_tpu.train.evolve import META, log_generation, mutate
+from dmayolo_tpu.train.optim import Schedule, ema_decay, param_groups
+from dmayolo_tpu.utils.callbacks import Callbacks
+from dmayolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint, strip_checkpoint
+
+
+class TestWBF:
+    def test_identical_models_fuse_to_same_boxes(self):
+        boxes = np.array([[0.1, 0.1, 0.3, 0.3], [0.5, 0.5, 0.8, 0.8]])
+        scores = np.array([0.9, 0.7])
+        labels = np.array([0.0, 1.0])
+        fb, fs, fl = weighted_boxes_fusion([boxes, boxes], [scores, scores],
+                                           [labels, labels], iou_thr=0.5)
+        assert fb.shape == (2, 4)
+        np.testing.assert_allclose(sorted(fs.tolist()), [0.7, 0.9], atol=1e-9)
+        np.testing.assert_allclose(fb[0], boxes[0], atol=1e-9)
+
+    def test_overlapping_boxes_weighted_average(self):
+        b1 = np.array([[0.10, 0.10, 0.30, 0.30]])
+        b2 = np.array([[0.12, 0.12, 0.32, 0.32]])
+        fb, fs, fl = weighted_boxes_fusion(
+            [b1, b2], [np.array([0.8]), np.array([0.4])],
+            [np.zeros(1), np.zeros(1)], iou_thr=0.4,
+        )
+        assert len(fb) == 1
+        expected = (0.8 * b1[0] + 0.4 * b2[0]) / 1.2
+        np.testing.assert_allclose(fb[0], expected, atol=1e-9)
+        assert fs[0] == pytest.approx(0.6)  # avg, full support
+
+    def test_single_model_support_rescales_score(self):
+        b1 = np.array([[0.1, 0.1, 0.3, 0.3]])
+        empty = np.zeros((0, 4))
+        fb, fs, fl = weighted_boxes_fusion(
+            [b1, empty], [np.array([0.8]), np.zeros(0)],
+            [np.zeros(1), np.zeros(0)],
+        )
+        assert fs[0] == pytest.approx(0.4)  # 1/2 model support
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        params = {("model", "0", "conv", "kernel"): jnp.ones((3, 3, 2, 4))}
+        stats = {("model", "0", "bn", "mean"): jnp.zeros((4,))}
+        save_checkpoint(tmp_path / "ck", params=params, stats=stats,
+                        ema_params=params, ema_stats=stats,
+                        meta={"epoch": 7, "best_fitness": 0.5})
+        trees, meta = load_checkpoint(tmp_path / "ck")
+        assert meta["epoch"] == 7
+        np.testing.assert_array_equal(
+            np.asarray(trees["params"][("model", "0", "conv", "kernel")]), np.ones((3, 3, 2, 4))
+        )
+        strip_checkpoint(tmp_path / "ck", tmp_path / "ck_stripped")
+        trees2, _ = load_checkpoint(tmp_path / "ck_stripped")
+        assert "opt_mom" not in trees2 and "params" in trees2
+
+
+class TestEvolve:
+    def test_mutation_stays_in_bounds(self, tmp_path):
+        import random
+
+        base = {k: (lo + hi) / 2 for k, (g, lo, hi) in META.items()}
+        rng = random.Random(0)
+        for i in range(20):
+            h = mutate(dict(base), tmp_path / "evolve.csv", rng)
+            for k, (g, lo, hi) in META.items():
+                assert lo - 1e-9 <= h[k] <= hi + 1e-9, (k, h[k])
+            log_generation(tmp_path / "evolve.csv", fitness=float(i), hyp=h)
+        # parent selection reads back the csv without crashing
+        h = mutate(dict(base), tmp_path / "evolve.csv", rng)
+        assert set(META).issubset(h)
+
+
+class TestSchedule:
+    HYP = {"lr0": 0.01, "lrf": 0.1, "momentum": 0.937,
+           "warmup_momentum": 0.8, "warmup_bias_lr": 0.1, "warmup_epochs": 3.0}
+
+    def test_warmup_and_cosine(self):
+        s = Schedule(self.HYP, epochs=100, steps_per_epoch=100, warmup_min_iters=300)
+        d0 = s(jnp.asarray(0))
+        assert float(d0["g2"]) == pytest.approx(0.1, abs=1e-6)  # bias warmup start
+        assert float(d0["g0"]) == pytest.approx(0.0, abs=1e-6)
+        assert float(d0["momentum"]) == pytest.approx(0.8, abs=1e-6)
+        mid = s(jnp.asarray(5000))
+        end = s(jnp.asarray(9999))
+        assert float(mid["g1"]) > float(end["g1"])  # cosine decays
+        assert float(end["g1"]) == pytest.approx(0.01 * 0.1, rel=0.05)
+
+    def test_ema_ramp(self):
+        assert float(ema_decay(jnp.asarray(1))) < 0.001
+        assert float(ema_decay(jnp.asarray(100000))) == pytest.approx(0.9999, rel=1e-3)
+
+
+def test_param_groups_reference_policy():
+    from dmayolo_tpu.graph import DetectionModel
+    from tests.test_train_step import TINY_CFG
+
+    m = DetectionModel(TINY_CFG)
+    labels = param_groups(m)
+    # BN scales -> g0, kernels -> g1, biases -> g2
+    assert labels[("model", "0", "bn", "scale")] == "g0"
+    assert labels[("model", "0", "conv", "kernel")] == "g1"
+    assert labels[("model", "0", "bn", "bias")] == "g2"
+    counts = {}
+    for v in labels.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert counts["g0"] > 0 and counts["g1"] > 0 and counts["g2"] > 0
+
+
+def test_fuse_params_preserves_outputs():
+    from dmayolo_tpu.graph import DetectionModel
+    from dmayolo_tpu.nn.fuse import fuse_params
+    from tests.test_train_step import TINY_CFG
+
+    m = DetectionModel(TINY_CFG)
+    params, stats = m.init_with_priors(jax.random.PRNGKey(3))
+    # non-trivial BN stats
+    stats = {k: v + 0.3 if k[-1] == "mean" else v * 1.7 for k, v in stats.items()}
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
+    ref = m.apply(params, stats, x)
+    fp, fs = fuse_params(m, params, stats)
+    fused = m.apply(fp, fs, x, fused=True)
+    for a, b in zip(ref, fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_callbacks_bus():
+    cb = Callbacks()
+    hits = []
+    cb.register_action("on_train_end", "t", lambda *a: hits.append(a))
+    cb.run("on_train_end", 1, 2)
+    assert hits == [(1, 2)]
+    with pytest.raises(AssertionError):
+        cb.run("not_a_hook")
