@@ -48,7 +48,14 @@ def load_model_from_checkpoint(weights, cfg=None, nc=None):
         trees, meta = load_checkpoint(weights)
         cfg = cfg or meta.get("cfg")
         nc = nc or meta.get("nc")
-        model = DetectionModel(resolve_config(cfg, "models"), nc=nc)
+        if cfg is None:
+            raise ValueError(
+                f"checkpoint {weights} has no cfg in its meta — pass --cfg"
+            )
+        if isinstance(cfg, dict):
+            model = DetectionModel(cfg, nc=nc)
+        else:
+            model = DetectionModel(resolve_config(cfg, "models"), nc=nc)
         params = trees.get("ema_params") or trees["params"]
         stats = trees.get("ema_stats") or trees["stats"]
         return model, params, stats

@@ -31,6 +31,7 @@ def build_parser():
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--no-fuse", action="store_true")
     p.add_argument("--rect", action="store_true", help="rectangular val batches (pad 0.5)")
+    p.add_argument("--single-cls", action="store_true")
     p.add_argument("--device", type=str, default=None, help="cpu|tpu (default: auto)")
     return p
 
@@ -89,6 +90,7 @@ def main(argv=None):
         save_conf=opt.save_conf,
         augment=opt.augment,
         rect=opt.rect,
+        single_cls=opt.single_cls,
     )
     print(res.summary())
     print("speed:", {k: f"{v:.2f}ms" for k, v in res.speed_ms.items()})

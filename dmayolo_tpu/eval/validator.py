@@ -124,6 +124,7 @@ def run_validation(
     save_conf: bool = False,
     rect: bool = False,
     pad: float = 0.5,
+    single_cls: bool = False,
 ) -> ValResult:
     """rect=True enables the reference's aspect-sorted rectangular batches
     (val.py:172, pad 0.5) — shapes are bucketed per batch, so XLA compiles
@@ -131,7 +132,9 @@ def run_validation(
     nc = nc if nc is not None else model.nc
     ds = DetectionDataset(
         data_path, img_size=img_size, augment=False, rect=rect,
-        stride=int(model.stride.max()), nc=nc, batch_size=batch_size, pad=pad,
+        stride=int(model.stride.max()),
+        nc=nc if not single_cls else 10**6,  # validate ids against the raw dataset
+        batch_size=batch_size, pad=pad, single_cls=single_cls,
     )
     loader = DataLoader(ds, batch_size, max_targets=max_targets, shuffle=False,
                         drop_last=False)
@@ -145,7 +148,9 @@ def run_validation(
     stats_acc = []
     t_infer = 0.0
     n_img = 0
+    n_timed = 0
     bs = batch_size
+    first = True
 
     for batch in loader:
         imgs = batch.images
@@ -157,7 +162,10 @@ def run_validation(
         dets, valid = infer(jnp.asarray(imgs))
         dets = np.asarray(jax.block_until_ready(dets))
         valid = np.asarray(valid)
-        t_infer += time.perf_counter() - t0
+        if not first:  # first batch carries XLA compile time
+            t_infer += time.perf_counter() - t0
+            n_timed += n
+        first = False
         n_img += n
 
         h, w = imgs.shape[1:3]
@@ -205,7 +213,7 @@ def run_validation(
     pred_cls = np.concatenate([s[2] for s in stats_acc])
     tcls = np.concatenate([s[3] for s in stats_acc])
     res = ValResult(nt=len(tcls))
-    res.speed_ms = {"inference+nms": 1000 * t_infer / max(n_img, 1)}
+    res.speed_ms = {"inference+nms": 1000 * t_infer / max(n_timed, 1)}
     if tp.size and tcls.size:
         p, r, ap, f1, classes = ap_per_class(tp, conf, pred_cls, tcls)
         ap50, ap75, ap_mean = ap[:, 0], ap[:, 5], ap.mean(1)

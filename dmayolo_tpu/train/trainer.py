@@ -100,10 +100,13 @@ class Trainer:
         self.val_interval = val_interval
         self.multi_scale = multi_scale
         self.image_weights = image_weights
+        self.single_cls = single_cls
 
         self.data = check_dataset(data)
         nc = 1 if single_cls else self.data["nc"]
-        self.cfg_ref = str(cfg) if isinstance(cfg, (str, Path)) else None
+        # checkpoints must be self-describing: store the path, or the full
+        # config dict when built from one
+        self.cfg_ref = str(cfg) if isinstance(cfg, (str, Path)) else dict(cfg)
         self.model = DetectionModel(cfg, nc=nc)
         self.nc = nc
 
@@ -254,6 +257,7 @@ class Trainer:
             self.model, jax.device_get(params), jax.device_get(stats),
             self.data["val"], img_size=self.img_size, batch_size=self.bs,
             nc=self.nc, dtype=self.dtype, max_targets=self.max_targets,
+            single_cls=self.single_cls,
         )
 
     def train(self, log_every: int = 10):
