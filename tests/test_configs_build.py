@@ -19,4 +19,4 @@ def test_config_builds(cfg):
 
 def test_bundle_is_complete():
     # all reference configs that the reference itself can build are bundled
-    assert len(CONFIGS) >= 66, len(CONFIGS)
+    assert len(CONFIGS) >= 65, len(CONFIGS)
