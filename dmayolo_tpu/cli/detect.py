@@ -39,6 +39,7 @@ def build_parser():
     p.add_argument("--save-conf", action="store_true")
     p.add_argument("--nosave", action="store_true")
     p.add_argument("--save-crop", action="store_true")
+    p.add_argument("--visualize", action="store_true", help="dump feature-map PNGs for the first image")
     p.add_argument("--agnostic-nms", action="store_true")
     p.add_argument("--augment", action="store_true")
     p.add_argument("--classes", type=int, nargs="+", default=None)
@@ -114,6 +115,19 @@ def main(argv=None):
         return _run_video(opt, infer, names, out)
     files = _gather_sources(src)
     assert files, f"no inputs in {opt.source}"
+
+    if opt.visualize:
+        from ..utils.plots import feature_visualization
+
+        im0 = cv2.imread(str(files[0]))
+        lb = letterbox(im0, opt.imgsz, auto=False, stride=int(model.stride.max()))[0]
+        xv = jnp.asarray(cv2.cvtColor(lb, cv2.COLOR_BGR2RGB)[None].astype(np.float32) / 255.0)
+        feats = model.apply_with_features(params, stats, xv, fused=True)
+        vis_dir = out / "features"
+        for i, tname, t in feats:
+            if hasattr(t, "shape") and getattr(t, "ndim", 0) == 4:
+                feature_visualization(np.asarray(t, dtype=np.float32), tname, i, save_dir=vis_dir)
+        print(f"feature maps -> {vis_dir}")
     bs = min(opt.batch_size, len(files))
     gs = int(model.stride.max())
 

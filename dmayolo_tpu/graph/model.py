@@ -269,6 +269,28 @@ class DetectionModel(Module):
     def decode(self, raw):
         return self.head.decode(raw)
 
+    def apply_with_features(self, params, stats, x, dtype=jnp.float32,
+                            fused: bool = False):
+        """Forward that also returns every layer's output (host-side feature
+        inspection — the reference's --visualize hook, yolo.py:237-238)."""
+        v = make_vars(params, stats, dtype=dtype, fused=fused)
+        feats = []
+        y = {}
+        out = x
+        for mod in self.layers:
+            f = mod.f
+            if f != -1:
+                out = (
+                    y[f % mod.i]
+                    if isinstance(f, int)
+                    else [out if j == -1 else y[j % mod.i] for j in f]
+                )
+            out = mod(v, out)
+            if mod.i in self.save:
+                y[mod.i] = out
+            feats.append((mod.i, mod.type_name, out))
+        return feats
+
     def describe(self) -> str:
         lines = [f"{self.yaml_file}: {len(self.layers)} layers, nc={self.nc}, stride={self.stride.tolist()}"]
         lines += [repr(s) for s in self.specs]
