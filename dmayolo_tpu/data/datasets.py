@@ -138,7 +138,8 @@ class DetectionDataset:
 
     def __init__(self, path, img_size=640, augment=False, hyp: Optional[Dict] = None,
                  rect=False, stride=32, pad=0.0, nc=80, batch_size=16,
-                 seed: int = 0, cache_images=False, single_cls=False):
+                 seed: int = 0, cache_images=False, single_cls=False,
+                 cache_disk=False):
         self.img_size = img_size
         self.augment = augment
         self.hyp = hyp or {}
@@ -163,6 +164,7 @@ class DetectionDataset:
 
         self._im_cache: Dict[int, tuple] = {}
         self.cache_images = cache_images
+        self.cache_disk = cache_disk  # resized-image .npy cache (ref datasets.py:486-505)
 
         if self.rect:
             self._plan_rect_batches(batch_size)
@@ -237,6 +239,17 @@ class DetectionDataset:
     def load_image(self, i: int):
         if i in self._im_cache:
             return self._im_cache[i]
+        npy = Path(self.im_files[i]).with_suffix(".npy") if self.cache_disk else None
+        if npy is not None and npy.exists():
+            try:
+                im, h0, w0 = None, *np.load(str(npy) + ".meta.npy")
+                im = np.load(npy)
+                out = (im, (int(h0), int(w0)), im.shape[:2])
+                if self.cache_images:
+                    self._im_cache[i] = out
+                return out
+            except Exception:
+                pass
         im = cv2.imread(self.im_files[i])  # BGR
         h0, w0 = im.shape[:2]
         r = self.img_size / max(h0, w0)
@@ -244,6 +257,12 @@ class DetectionDataset:
             interp = cv2.INTER_AREA if r < 1 and not self.augment else cv2.INTER_LINEAR
             im = cv2.resize(im, (int(w0 * r), int(h0 * r)), interpolation=interp)
         out = (im, (h0, w0), im.shape[:2])
+        if npy is not None and not npy.exists():
+            try:
+                np.save(npy, im)
+                np.save(str(npy) + ".meta.npy", np.array([h0, w0]))
+            except OSError:
+                pass
         if self.cache_images:
             self._im_cache[i] = out
         return out

@@ -116,6 +116,39 @@ class DataLoader:
             done.set()
 
 
+def collate_quad(samples, max_targets: int, rng=None, indices=None) -> Batch:
+    """Quad collate: each output item is either one image upscaled 2x or a
+    2x2 tile of four, at double resolution (reference --quad,
+    utils/datasets.py:631-655).  Input sample count must be divisible by 4."""
+    import cv2
+    import random as _random
+
+    rng = rng or _random
+    out = []
+    for i in range(0, len(samples) - 3, 4):
+        group = samples[i : i + 4]
+        h, w = group[0][0].shape[:2]
+        if rng.random() < 0.5:  # upscale one image
+            im = cv2.resize(group[0][0], (2 * w, 2 * h), interpolation=cv2.INTER_LINEAR)
+            lb = group[0][1]
+        else:  # 2x2 tile; labels shift+halve into quadrants
+            top = np.concatenate([group[0][0], group[1][0]], axis=1)
+            bot = np.concatenate([group[2][0], group[3][0]], axis=1)
+            im = np.concatenate([top, bot], axis=0)
+            parts = []
+            offs = [(0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.5, 0.5)]
+            for (ox, oy), (_, l) in zip(offs, group):
+                if len(l):
+                    l = l.copy()
+                    l[:, 1] = l[:, 1] * 0.5 + ox
+                    l[:, 2] = l[:, 2] * 0.5 + oy
+                    l[:, 3:5] *= 0.5
+                    parts.append(l)
+            lb = np.concatenate(parts, 0) if parts else np.zeros((0, 5), np.float32)
+        out.append((im, lb))
+    return collate(out, max_targets, indices)
+
+
 def pad_to_batch(imgs: np.ndarray, targets: Targets, bs: int):
     """Pad a short final batch up to bs (mask stays false on padding)."""
     n = imgs.shape[0]
