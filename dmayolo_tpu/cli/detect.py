@@ -110,6 +110,8 @@ def main(argv=None):
     def infer(x):  # params as jit args, not baked constants
         return _infer(params, stats, x)
 
+    if "," in str(opt.source) or str(opt.source).endswith(".streams"):
+        return _run_streams(opt, infer, names, out)
     src = Path(opt.source)
     if src.suffix.lower() in VID_EXTS or str(opt.source).isdigit() or "://" in str(opt.source):
         return _run_video(opt, infer, names, out)
@@ -235,4 +237,78 @@ def _run_video(opt, infer, names, out):
     cap.release()
     dt = _time.perf_counter() - t0
     print(f"video: {n} frames in {dt:.1f}s ({n/max(dt,1e-9):.1f} FPS) -> {out}")
+    return out
+
+
+def _run_streams(opt, infer, names, out):
+    """Multiple concurrent sources batched through one program per step —
+    reference LoadStreams (datasets.py:282-367: one reader thread per
+    source, batched inference).  Sources: comma-separated, or a .streams
+    file with one URL/path/index per line."""
+    import queue
+    import threading
+
+    import cv2
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ..data.augment import letterbox
+    from ..eval.validator import _scale_to_native
+
+    srcs = (
+        [s.strip() for s in Path(opt.source).read_text().splitlines() if s.strip()]
+        if str(opt.source).endswith(".streams")
+        else [s.strip() for s in str(opt.source).split(",") if s.strip()]
+    )
+    caps = [cv2.VideoCapture(int(s) if s.isdigit() else s) for s in srcs]
+    assert all(c.isOpened() for c in caps), f"failed to open some of {srcs}"
+    frames = [None] * len(srcs)
+    alive = [True] * len(srcs)
+    lock = threading.Lock()
+
+    def reader(i):
+        while alive[i]:
+            ok, f = caps[i].read()
+            if not ok:
+                alive[i] = False
+                break
+            with lock:
+                frames[i] = f
+
+    threads = [threading.Thread(target=reader, args=(i,), daemon=True) for i in range(len(srcs))]
+    for t in threads:
+        t.start()
+
+    import time as _time
+
+    n_steps = 0
+    t0 = _time.perf_counter()
+    gs = int(16)
+    try:
+        while any(alive) and n_steps < getattr(opt, "max_stream_steps", 10**9):
+            with lock:
+                batch0 = [f.copy() for f in frames if f is not None]
+            if len(batch0) < len([a for a in alive if a]):
+                _time.sleep(0.01)
+                continue
+            if not batch0:
+                break
+            lbs = [letterbox(f, opt.imgsz, auto=False)[0] for f in batch0]
+            x = np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2RGB) for f in lbs])
+            dets, valid = infer(jnp.asarray(x))
+            dets, valid = np.asarray(dets), np.asarray(valid)
+            n_steps += 1
+            if n_steps % 10 == 0:
+                counts = [int(valid[i].sum()) for i in range(len(batch0))]
+                print(f"step {n_steps}: dets per stream {counts}", flush=True)
+            if not any(alive):
+                break
+    finally:
+        for i in range(len(srcs)):
+            alive[i] = False
+        for c in caps:
+            c.release()
+    dt = _time.perf_counter() - t0
+    print(f"streams: {n_steps} batched steps over {len(srcs)} sources in {dt:.1f}s "
+          f"({n_steps*len(srcs)/max(dt,1e-9):.1f} FPS aggregate)")
     return out
