@@ -147,6 +147,8 @@ def run_validation(
     iouv = np.linspace(0.5, 0.95, 10)
     stats_acc = []
     t_infer = 0.0
+    t_first = 0.0
+    n_first = 0
     n_img = 0
     n_timed = 0
     bs = batch_size
@@ -162,7 +164,10 @@ def run_validation(
         dets, valid = infer(jnp.asarray(imgs))
         dets = np.asarray(jax.block_until_ready(dets))
         valid = np.asarray(valid)
-        if not first:  # first batch carries XLA compile time
+        if first:  # first batch carries XLA compile time
+            t_first = time.perf_counter() - t0
+            n_first = n
+        else:
             t_infer += time.perf_counter() - t0
             n_timed += n
         first = False
@@ -213,7 +218,10 @@ def run_validation(
     pred_cls = np.concatenate([s[2] for s in stats_acc])
     tcls = np.concatenate([s[3] for s in stats_acc])
     res = ValResult(nt=len(tcls))
-    res.speed_ms = {"inference+nms": 1000 * t_infer / max(n_timed, 1)}
+    if n_timed:
+        res.speed_ms = {"inference+nms": 1000 * t_infer / n_timed}
+    else:  # single-batch val: only the compile-laden batch exists
+        res.speed_ms = {"inference+nms(incl compile)": 1000 * t_first / max(n_first, 1)}
     if tp.size and tcls.size:
         p, r, ap, f1, classes = ap_per_class(tp, conf, pred_cls, tcls)
         ap50, ap75, ap_mean = ap[:, 0], ap[:, 5], ap.mean(1)
