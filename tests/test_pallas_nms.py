@@ -33,3 +33,37 @@ def test_pallas_nms_all_masked():
     scores = jnp.full((1, 128), NEG_INF, jnp.float32)
     pi, pv = pallas_batched_nms_core(boxes, scores, iou_thres=0.5, max_det=16, interpret=True)
     assert not bool(np.asarray(pv).any())
+
+
+def test_matrix_nms_matches_scan():
+    from dmayolo_tpu.core.nms import nms_matrix
+
+    rng = np.random.default_rng(7)
+    B, K = 3, 192
+    xy1 = rng.uniform(0, 400, (B, K, 2))
+    wh = rng.uniform(4, 160, (B, K, 2))
+    boxes = np.concatenate([xy1, xy1 + wh], -1).astype(np.float32)
+    scores = np.sort(rng.uniform(0.01, 1, (B, K)).astype(np.float32))[:, ::-1].copy()
+    scores[scores < 0.3] = NEG_INF
+    mi, mv = nms_matrix(jnp.asarray(boxes), jnp.asarray(scores), 0.45, 80)
+    for b in range(B):
+        ri, rv = nms_single(jnp.asarray(boxes[b]), jnp.asarray(scores[b]), 0.45, 80)
+        a = np.sort(np.asarray(ri)[np.asarray(rv)])
+        c = np.sort(np.asarray(mi[b])[np.asarray(mv[b])])
+        np.testing.assert_array_equal(a, c)
+
+
+def test_matrix_nms_deep_chain():
+    from dmayolo_tpu.core.nms import nms_matrix
+
+    K = 64
+    boxes = np.zeros((1, K, 4), np.float32)
+    for i in range(K):
+        boxes[0, i] = [i * 5, 0, i * 5 + 10, 10]  # 50% overlap chain
+    scores = np.linspace(1, 0.5, K, dtype=np.float32)[None]
+    mi, mv = nms_matrix(jnp.asarray(boxes), jnp.asarray(scores), 0.3, K)
+    ri, rv = nms_single(jnp.asarray(boxes[0]), jnp.asarray(scores[0]), 0.3, K)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(ri)[np.asarray(rv)]),
+        np.sort(np.asarray(mi[0])[np.asarray(mv[0])]),
+    )
