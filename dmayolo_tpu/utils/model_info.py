@@ -93,3 +93,52 @@ def profile_layers(model, params, stats, img_size: int = 256, iters: int = 10):
     for i, name, delta, cum in results:
         print(f"{i:>4} {name:<18} {delta:>9.2f} {cum:>8.2f}")
     return results
+
+
+class Profile:
+    """Context-manager stage timer with device sync.
+    ref: utils/general.py:55-66 (Profile) + torch_utils.py:86-90 (time_sync)."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def __enter__(self):
+        self.start = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        # block on any outstanding device work so the interval is honest
+        try:
+            jax.block_until_ready(jax.device_put(0))
+        except Exception:
+            pass
+        self.dt = time.perf_counter() - self.start
+        self.t += self.dt
+
+
+class Timeout:
+    """Deadline guard for host-side sections (SIGALRM, unix only).
+    ref: utils/general.py:69-82."""
+
+    def __init__(self, seconds: float, timeout_msg: str = "", suppress: bool = True):
+        self.seconds = seconds
+        self.msg = timeout_msg
+        self.suppress = suppress
+
+    def _handler(self, signum, frame):
+        raise TimeoutError(self.msg)
+
+    def __enter__(self):
+        import signal
+
+        signal.signal(signal.SIGALRM, self._handler)
+        signal.setitimer(signal.ITIMER_REAL, self.seconds)
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        import signal
+
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        return self.suppress and exc_type is TimeoutError
