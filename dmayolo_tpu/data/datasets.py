@@ -23,8 +23,8 @@ import cv2
 import numpy as np
 import yaml
 
-from .augment import (augment_hsv, copy_paste, flip_lr, flip_ud, letterbox,
-                      mixup, random_perspective, segments2boxes)
+from .augment import (augment_hsv, copy_paste, cutout, flip_lr, flip_ud,
+                      letterbox, mixup, random_perspective, segments2boxes)
 
 IMG_FORMATS = {"bmp", "jpg", "jpeg", "png", "tif", "tiff", "dng", "webp", "mpo"}
 
@@ -435,6 +435,19 @@ class DetectionDataset:
             out[:, 0] = labels[:, 0]
             out[:, 1:] = _xyxy2xywhn_np(labels[:, 1:5], img.shape[1], img.shape[0])
 
+        if self.augment and hyp.get("cutout", 0.0) > 0:
+            # labels back to pixel xyxy for the IOA filter, then re-normalise
+            if nl:
+                px = out.copy()
+                px[:, 1:] = _xywhn2xyxy_np(out[:, 1:], img.shape[1], img.shape[0])
+                px = cutout(img, px, p=hyp["cutout"], rng=self.rng)
+                nl = len(px)
+                out = np.zeros((nl, 5), np.float32)
+                if nl:
+                    out[:, 0] = px[:, 0]
+                    out[:, 1:] = _xyxy2xywhn_np(px[:, 1:5], img.shape[1], img.shape[0])
+            else:
+                cutout(img, np.zeros((0, 5), np.float32), p=hyp["cutout"], rng=self.rng)
         if self.augment:
             augment_hsv(
                 img,

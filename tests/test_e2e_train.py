@@ -82,3 +82,44 @@ def test_train_smoke(shapes_data, tmp_path):
     # resume path loads
     trees, meta = load_checkpoint(tmp_path / "exp" / "last")
     assert "params" in trees and meta["epoch"] == 19
+
+
+TINY_TAL_CFG = {
+    "nc": 3,
+    "depth_multiple": 0.33,
+    "width_multiple": 0.25,
+    "anchors": [[10, 13, 16, 30, 33, 23]] * 3,
+    "backbone": [
+        [-1, 1, "Conv", [64, 6, 2, 2]],
+        [-1, 1, "Conv", [128, 3, 2]],
+        [-1, 1, "C3", [128]],
+        [-1, 1, "Conv", [256, 3, 2]],   # P3/8
+        [-1, 1, "Conv", [512, 3, 2]],   # P4/16
+        [-1, 1, "Conv", [512, 3, 2]],   # P5/32
+    ],
+    "head": [[[3, 4, 5], 1, "TDetect", ["nc"]]],
+}
+
+
+def test_tal_train_smoke(shapes_data, tmp_path):
+    """Anchor-free (TAL/TDetect) training path end-to-end."""
+    trainer = Trainer(
+        TINY_TAL_CFG,
+        str(shapes_data),
+        HYP,
+        epochs=3,
+        batch_size=8,
+        img_size=256,
+        assignment="tal",
+        out_dir=str(tmp_path / "tal"),
+        dtype=jnp.float32,
+        workers=2,
+        max_targets=32,
+        val_interval=3,
+        warmup_min_iters=20,
+        seed=0,
+    )
+    trainer.train(log_every=100)
+    assert (tmp_path / "tal" / "last.npz").exists()
+    res = trainer.validate(use_ema=False)
+    assert np.isfinite(res.map50)
