@@ -21,7 +21,7 @@ from .graph import DetectionModel
 from .nn.fuse import fuse_params
 
 
-def load(weights=None, cfg: str = "yolov5s.yaml",
+def load(weights=None, cfg: Optional[str] = None,
          nc: Optional[int] = None, names=None, device: Optional[str] = None):
     """Load model(s) as an AutoShape end-to-end callable.
 
@@ -41,6 +41,8 @@ def load(weights=None, cfg: str = "yolov5s.yaml",
         return AutoShapeEnsemble(members, names=names)
     if isinstance(weights, (list, tuple)):
         weights = weights[0] if weights else None
+    if weights is None and cfg is None:
+        cfg = "yolov5s.yaml"  # fresh default model
     model, params, stats = load_model_from_checkpoint(weights, cfg, nc=nc)
     params, stats = fuse_params(model, params, stats)
     return AutoShape(model, params, stats, names=names)

@@ -29,6 +29,8 @@ def fuse_params(model: Module, params: FlatDict, stats: FlatDict) -> Tuple[FlatD
         if not isinstance(m, ConvBN):
             continue
         kkey = m.path + ("conv", "kernel")
+        if m.path + ("bn", "scale") not in params:
+            continue  # already fused (e.g. loaded a *_fused.npz export)
         scale = params[m.path + ("bn", "scale")]
         bias = params[m.path + ("bn", "bias")]
         mean = stats[m.path + ("bn", "mean")]

@@ -77,6 +77,7 @@ def strip_checkpoint(src, dst=None):
     params = trees.get("ema_params") or trees["params"]
     stats = trees.get("ema_stats") or trees["stats"]
     dst = dst or src
+    keep = ("epoch", "best_fitness", "nc", "cfg")  # keep self-description
     save_checkpoint(dst, params=params, stats=stats,
-                    meta={k: meta[k] for k in ("epoch", "best_fitness") if k in meta})
+                    meta={k: meta[k] for k in keep if k in meta and meta[k] is not None})
     return dst
