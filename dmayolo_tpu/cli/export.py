@@ -64,6 +64,10 @@ def main(argv=None):
     from .common import load_model_from_checkpoint
 
     model, params, stats = load_model_from_checkpoint(opt.weights, opt.cfg)
+    from ..utils.checkpoint import load_checkpoint as _lc
+
+    _, src_meta = _lc(opt.weights)
+    cfg_meta = opt.cfg or src_meta.get("cfg")
     base = Path(opt.weights).with_suffix("")
     dtype = jnp.float32 if opt.fp32 else jnp.bfloat16
 
@@ -71,7 +75,8 @@ def main(argv=None):
     if "npz" in opt.include:
         fp, fs = fuse_params(model, params, stats)
         out = base.parent / (base.name + "_fused.npz")
-        save_checkpoint(out, params=fp, stats=fs, meta={"fused": True, "nc": model.nc})
+        save_checkpoint(out, params=fp, stats=fs,
+                        meta={"fused": True, "nc": model.nc, "cfg": cfg_meta})
         outputs.append(out)
 
     if "torch" in opt.include:
