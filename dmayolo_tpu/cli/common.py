@@ -57,7 +57,8 @@ def load_model_from_checkpoint(weights, cfg=None, nc=None):
         else:
             model = DetectionModel(resolve_config(cfg, "models"), nc=nc)
         params = trees.get("ema_params") or trees["params"]
-        stats = trees.get("ema_stats") or trees["stats"]
+        # a fully-fused checkpoint may have no BN stats left at all
+        stats = trees.get("ema_stats") or trees.get("stats") or {}
         return model, params, stats
     assert cfg, "need --weights or --cfg"
     model = DetectionModel(resolve_config(cfg, "models"), nc=nc)
