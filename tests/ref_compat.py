@@ -69,7 +69,31 @@ def setup_reference_imports():
             sys.modules["pkg_resources"] = pkg
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
+    _seed_reference_font()
     return True
+
+
+def _seed_reference_font():
+    """The reference downloads Arial.ttf at import (utils/plots.py:51-66);
+    this environment has no egress, so pre-seed its config dir with a ttf
+    from matplotlib."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    cfg_dir = Path(os.getenv("YOLOV5_CONFIG_DIR") or Path.home() / ".config" / "Ultralytics")
+    target = cfg_dir / "Arial.ttf"
+    if target.exists():
+        return
+    try:
+        import matplotlib
+
+        src = Path(matplotlib.get_data_path()) / "fonts" / "ttf" / "DejaVuSans.ttf"
+        if src.exists():
+            cfg_dir.mkdir(parents=True, exist_ok=True)
+            shutil.copy(src, target)
+    except Exception:
+        pass
 
 
 def patch_ca_alias():
