@@ -47,6 +47,8 @@ def build_parser():
     p.add_argument("--single-cls", action="store_true", help="train as single-class")
     p.add_argument("--cache", action="store_true", help="cache images in RAM")
     p.add_argument("--image-weights", action="store_true", help="class-mAP weighted image sampling")
+    p.add_argument("--accumulate", type=int, default=0,
+                   help="grad-accumulation factor (0 = auto round(64/bs), ref train.py:189)")
     return p
 
 
@@ -106,6 +108,7 @@ def _make_trainer(opt, hyp, out_dir):
         cache_images=opt.cache,
         resume_from=opt.resume if opt.resume and opt.resume != "auto" else None,
         pretrained=opt.weights or None,
+        accumulate=opt.accumulate or None,
     )
 
 

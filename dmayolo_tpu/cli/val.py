@@ -33,6 +33,10 @@ def build_parser():
     p.add_argument("--rect", action="store_true", help="rectangular val batches (pad 0.5)")
     p.add_argument("--single-cls", action="store_true")
     p.add_argument("--device", type=str, default=None, help="cpu|tpu (default: auto)")
+    p.add_argument("--max-nms", type=int, default=30000,
+                   help="pre-NMS candidate budget (ref general.py:650)")
+    p.add_argument("--nms-backend", type=str, default="scan",
+                   choices=["scan", "matrix", "pallas"])
     return p
 
 
@@ -67,7 +71,8 @@ def main(argv=None):
             r = run_validation(
                 model, params, stats, split, img_size=sz, batch_size=opt.batch_size,
                 nc=data["nc"], conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
-                max_det=opt.max_det,
+                max_det=opt.max_det, max_nms=opt.max_nms,
+                nms_backend=opt.nms_backend,
                 dtype=jnp.float32 if opt.fp32 else jnp.bfloat16, fused=fused,
             )
             rows.append((sz, r.mp, r.mr, r.map50, r.map, r.speed_ms.get("inference+nms", 0)))
@@ -85,6 +90,7 @@ def main(argv=None):
         model, params, stats, split,
         img_size=opt.imgsz, batch_size=opt.batch_size, nc=data["nc"],
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres, max_det=opt.max_det,
+        max_nms=opt.max_nms, nms_backend=opt.nms_backend,
         dtype=jnp.float32 if opt.fp32 else jnp.bfloat16, fused=fused,
         save_txt_dir=(out / "labels") if opt.save_txt else None,
         save_conf=opt.save_conf,

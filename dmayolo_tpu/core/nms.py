@@ -146,7 +146,7 @@ def batched_nms(
     multi_label: bool = False,
     agnostic: bool = False,
     max_det: int = 300,
-    max_nms: int = 4096,
+    max_nms: int = 30000,
     class_mask=None,
     backend: str = "scan",
 ):
@@ -157,8 +157,14 @@ def batched_nms(
     batched NMS — but everything is dense, static-shape, and batched.
 
     Args:
+        max_nms: pre-NMS candidate budget (top-k by conf). The default
+            matches the reference's 30000 (general.py:650) so dense-image
+            eval at conf 0.001 is protocol-identical; serving paths pass a
+            smaller budget explicitly.
         class_mask: optional (nc,) bool — keep only these classes
             (reference `classes=` argument).
+        backend: 'scan' (vmapped greedy, default) | 'matrix' (suppression-
+            DAG fixpoint, MXU-friendly) | 'pallas'.
 
     Returns:
         dets: (B, max_det, 6) [x1, y1, x2, y2, conf, cls]

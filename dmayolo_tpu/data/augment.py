@@ -202,7 +202,8 @@ def copy_paste(im, labels, segments, p=0.5, rng: random.Random = random):
 
 def mixup(im, labels, im2, labels2, rng: random.Random = random):
     """beta(32,32) image blend.  ref: utils/augmentations.py:257-263."""
-    r = np.random.beta(32.0, 32.0)
+    # derive the beta sample from the threaded rng so seeded runs reproduce
+    r = np.random.default_rng(rng.getrandbits(32)).beta(32.0, 32.0)
     im = (im * r + im2 * (1 - r)).astype(np.uint8)
     return im, np.concatenate((labels, labels2), 0)
 

@@ -251,6 +251,7 @@ class DetectionDataset:
             except Exception:
                 pass
         im = cv2.imread(self.im_files[i])  # BGR
+        assert im is not None, f"Image Not Found {self.im_files[i]}"
         h0, w0 = im.shape[:2]
         r = self.img_size / max(h0, w0)
         if r != 1:

@@ -97,8 +97,12 @@ class DataLoader:
                     j, idxs = work.get_nowait()
                 except queue.Empty:
                     return
-                samples = [self.ds[i] for i in idxs]
-                out.put((j, collate(samples, self.max_targets, idxs)))
+                try:
+                    samples = [self.ds[i] for i in idxs]
+                    out.put((j, collate(samples, self.max_targets, idxs)))
+                except BaseException as e:  # surface in the consumer, never hang
+                    out.put((j, e))
+                    return
 
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.workers)]
         for t in threads:
@@ -109,6 +113,8 @@ class DataLoader:
             for _ in range(len(batches)):
                 while next_j not in pending:
                     j, batch = out.get()
+                    if isinstance(batch, BaseException):
+                        raise batch
                     pending[j] = batch
                 yield pending.pop(next_j)
                 next_j += 1

@@ -49,7 +49,8 @@ class ValResult:
 
 
 def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
-                  dtype=jnp.bfloat16, fused: bool = False, augment: bool = False):
+                  dtype=jnp.bfloat16, fused: bool = False, augment: bool = False,
+                  max_nms: int = 30000, nms_backend: str = "scan"):
     """Build the jitted whole-batch forward+decode+NMS (optionally TTA).
 
     Params/stats are jit ARGUMENTS, not closure captures — captured arrays
@@ -75,6 +76,8 @@ def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
             iou_thres=iou_thres,
             multi_label=True,
             max_det=max_det,
+            max_nms=max_nms,
+            backend=nms_backend,
         )
 
     return lambda x: _infer(params, stats, x)
@@ -125,6 +128,8 @@ def run_validation(
     rect: bool = False,
     pad: float = 0.5,
     single_cls: bool = False,
+    max_nms: int = 30000,
+    nms_backend: str = "scan",
 ) -> ValResult:
     """rect=True enables the reference's aspect-sorted rectangular batches
     (val.py:172, pad 0.5) — shapes are bucketed per batch, so XLA compiles
@@ -139,7 +144,8 @@ def run_validation(
     loader = DataLoader(ds, batch_size, max_targets=max_targets, shuffle=False,
                         drop_last=False)
     infer = make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
-                          dtype=dtype, fused=fused, augment=augment)
+                          dtype=dtype, fused=fused, augment=augment,
+                          max_nms=max_nms, nms_backend=nms_backend)
     if save_txt_dir is not None:
         save_txt_dir = Path(save_txt_dir)
         save_txt_dir.mkdir(parents=True, exist_ok=True)

@@ -77,7 +77,8 @@ class Schedule:
 
     def __init__(self, hyp: Dict, epochs: int, steps_per_epoch: int,
                  adam: bool = False, linear: bool = False, nbs: int = 64,
-                 batch_size: int = 16, warmup_min_iters: int = 1000):
+                 batch_size: int = 16, warmup_min_iters: int = 1000,
+                 step_scale: int = 1):
         self.lr0 = 3e-4 if adam else hyp["lr0"]
         self.lrf = hyp["lrf"]
         self.momentum = hyp["momentum"]
@@ -90,6 +91,11 @@ class Schedule:
         self.nw = max(round(hyp.get("warmup_epochs", 3.0) * self.spe), warmup_min_iters)
         self.linear = linear
         self.accumulate = max(round(nbs / batch_size), 1)
+        # with gradient accumulation the optimizer steps once per
+        # `accumulate` loader batches; the reference's warmup/epoch curves
+        # are functions of the BATCH index ni (train.py:405), so scale the
+        # opt-step counter back into batch units
+        self.step_scale = float(step_scale)
 
     def _lf(self, epoch):
         """Epoch multiplier (traced-compatible)."""
@@ -100,6 +106,7 @@ class Schedule:
     def __call__(self, step):
         """Returns dict of per-group lr (g0/g1/g2) and momentum at `step`."""
         step = step.astype(jnp.float32) if hasattr(step, "astype") else float(step)
+        step = step * self.step_scale
         epoch = jnp.floor(step / self.spe)
         base = self.lr0 * self._lf(epoch)
         frac = jnp.clip(step / self.nw, 0.0, 1.0)
@@ -153,9 +160,14 @@ def sgd_step(params, grads, state: OptState, sched: Schedule, labels,
 def adam_step(params, grads, state: OptState, sched: Schedule, labels,
               weight_decay: float, beta2: float = 0.999, eps: float = 1e-8):
     """torch Adam (L2-style decay) with beta1 = hyp momentum.
-    ref: train.py:217 (Adam(lr=3e-4, betas=(momentum, 0.999)))."""
+    ref: train.py:217 (Adam(lr=3e-4, betas=(momentum, 0.999))).
+
+    beta1 is the FIXED hyp momentum: the reference's warmup ramp touches
+    only optimizer groups with a 'momentum' key, i.e. SGD — Adam betas are
+    set at construction and never ramped (ref train.py:415-422). A fixed
+    beta1 also keeps the 1-beta1**t bias correction exact."""
     lrs = sched(state.step)
-    beta1 = lrs["momentum"]
+    beta1 = sched.momentum
     t = state.step.astype(jnp.float32) + 1.0
     new_p, new_m, new_v = {}, {}, {}
     for k, p in params.items():

@@ -127,7 +127,9 @@ def make_train_step(
             ema_stats=ema_update(state.ema_stats, new_stats, d),
             ema_updates=updates,
         )
-        metrics = {"loss": total, **{k: v for k, v in items.items()}}
+        # grads are the SUM over microbatches (reference backward semantics);
+        # report the per-batch mean so logs are cadence-independent
+        metrics = {"loss": total / accumulate, **{k: v for k, v in items.items()}}
         return new_state, metrics
 
     return step

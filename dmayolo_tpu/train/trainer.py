@@ -82,6 +82,7 @@ class Trainer:
         cache_images: bool = False,
         resume_from: Optional[str] = None,
         pretrained: Optional[str] = None,
+        accumulate: Optional[int] = None,
     ):
         self.hyp = dict(hyp)
         self.epochs = epochs
@@ -124,9 +125,6 @@ class Trainer:
 
         from .optim import labels_to_class_weights  # noqa: F401 (used below)
 
-        self.accumulate = max(round(NBS / batch_size), 1)
-        self.weight_decay = h.get("weight_decay", 5e-4) * batch_size * self.accumulate / NBS
-
         # datasets/loaders
         self.train_ds = DetectionDataset(
             self.data["train"], img_size=img_size, augment=True, hyp=h,
@@ -138,7 +136,21 @@ class Trainer:
             self.train_ds, batch_size, max_targets=max_targets, shuffle=True,
             workers=workers, seed=seed,
         )
-        self.steps_per_epoch = len(self.train_loader)
+        self.steps_per_epoch = len(self.train_loader)  # loader batches/epoch
+        # gradient accumulation toward the nominal batch 64 (ref
+        # train.py:189-190, 448-454): the optimizer steps once per
+        # `accumulate` loader batches. Clamped to an epoch's batch count so
+        # tiny smoke datasets still step. The reference additionally ramps
+        # accumulate 1->nbs/bs during warmup (an extra handful of near-zero-lr
+        # steps); we keep a fixed cadence so the train step stays ONE XLA
+        # program — the warmup lr curve itself is identical in batch units
+        # via Schedule.step_scale.
+        self.accumulate = (
+            int(accumulate) if accumulate
+            else max(round(NBS / batch_size), 1)
+        )
+        self.accumulate = max(min(self.accumulate, self.steps_per_epoch), 1)
+        self.weight_decay = h.get("weight_decay", 5e-4) * batch_size * self.accumulate / NBS
         self.class_weights = labels_to_class_weights(self.train_ds.labels, nc)
         self.maps = np.zeros(nc)  # per-class mAP for image-weight resampling
 
@@ -160,12 +172,13 @@ class Trainer:
         self.sched = Schedule(
             h, epochs=epochs, steps_per_epoch=self.steps_per_epoch, adam=adam,
             linear=linear_lr, batch_size=batch_size,
-            warmup_min_iters=warmup_min_iters,
+            warmup_min_iters=warmup_min_iters, step_scale=self.accumulate,
         )
         labels = param_groups(self.model, train_ungrouped=train_ungrouped)
         step = make_train_step(
             self.model, self.loss, self.sched, labels,
             weight_decay=self.weight_decay, adam=adam, dtype=dtype,
+            accumulate=self.accumulate,
         )
         # donation is disabled everywhere: XLA CPU deadlocks on donated
         # buffers feeding collectives, and the axon TPU backend fails with
@@ -264,6 +277,7 @@ class Trainer:
         stopper = EarlyStopping(self.patience)
         rng = jax.random.PRNGKey(self.seed)
         t_start = time.time()
+        self._pending = []  # accumulation group, carried across epochs
         self.callbacks.run("on_train_start")
         for epoch in range(self.start_epoch, self.epochs):
             self.callbacks.run("on_train_epoch_start")
@@ -282,11 +296,26 @@ class Trainer:
 
             _ms_rng = _random.Random(self.seed + epoch)
             gs = int(self.model.stride.max())
+            opt_steps = max(self.steps_per_epoch // self.accumulate, 1)
             with self.mesh:
                 self.state = replicate_tree(self.mesh, self.state)
                 for batch in self.train_loader:
+                    # accumulate `accumulate` loader batches per optimizer
+                    # step (ref train.py:448-454 ni cadence, carried across
+                    # epoch boundaries like the reference's global ni)
+                    self._pending.append(batch)
+                    if len(self._pending) < self.accumulate:
+                        continue
+                    group, self._pending = self._pending, []
                     rng, sub = jax.random.split(rng)
-                    images = batch.images
+                    if len(group) == 1:
+                        images = group[0].images
+                        tcls, tbox, tmask = group[0].targets
+                    else:
+                        images = np.concatenate([b.images for b in group])
+                        tcls = np.concatenate([np.asarray(b.targets.cls) for b in group])
+                        tbox = np.concatenate([np.asarray(b.targets.box) for b in group])
+                        tmask = np.concatenate([np.asarray(b.targets.mask) for b in group])
                     if self.multi_scale:
                         # bucketed random resize (ref train.py:425-431); a
                         # small bucket set bounds XLA recompiles
@@ -303,16 +332,16 @@ class Trainer:
                     tgt = Targets(
                         *(
                             jax.device_put(jnp.asarray(t), NamedSharding(self.mesh, P("data")))
-                            for t in batch.targets
+                            for t in (tcls, tbox, tmask)
                         )
                     )
                     self.state, metrics = self.jstep(self.state, imgs, tgt, sub)
                     nb += 1
-                    if nb % log_every == 0 or nb == self.steps_per_epoch:
+                    if nb % log_every == 0 or nb == opt_steps:
                         m = {k: float(v) for k, v in metrics.items()}
                         running = m
                         print(
-                            f"epoch {epoch} [{nb}/{self.steps_per_epoch}] "
+                            f"epoch {epoch} [{nb}/{opt_steps}] "
                             + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
                             flush=True,
                         )

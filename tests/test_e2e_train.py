@@ -67,6 +67,7 @@ def test_train_smoke(shapes_data, tmp_path):
         val_interval=5,
         warmup_min_iters=60,
         seed=0,
+        accumulate=1,  # per-batch steps: the smoke run needs every update
     )
     best = trainer.train(log_every=100)
     # sanity: checkpoints written, csv written
@@ -118,8 +119,41 @@ def test_tal_train_smoke(shapes_data, tmp_path):
         val_interval=3,
         warmup_min_iters=20,
         seed=0,
+        accumulate=1,
     )
     trainer.train(log_every=100)
     assert (tmp_path / "tal" / "last.npz").exists()
+    res = trainer.validate(use_ema=False)
+    assert np.isfinite(res.map50)
+
+
+def test_grad_accumulation_train_smoke(shapes_data, tmp_path):
+    """Reference nbs=64 cadence (train.py:189, 448-454): the trainer groups
+    `accumulate` loader batches per optimizer step, carrying partial groups
+    across epoch boundaries like the reference's global-ni stepping."""
+    trainer = Trainer(
+        TINY_CFG,
+        str(shapes_data),
+        HYP,
+        epochs=2,
+        batch_size=8,
+        img_size=256,
+        out_dir=str(tmp_path / "acc"),
+        dtype=jnp.float32,
+        workers=2,
+        max_targets=32,
+        val_interval=2,
+        warmup_min_iters=4,
+        seed=0,
+        accumulate=4,   # 6 batches/epoch -> 1.5 opt steps/epoch, carries over
+    )
+    assert trainer.accumulate == 4
+    # weight decay is scaled to the effective batch (ref train.py:191)
+    assert np.isclose(trainer.weight_decay,
+                      HYP["weight_decay"] * 8 * 4 / 64)
+    trainer.train(log_every=1)
+    # 12 loader batches / accumulate 4 = 3 optimizer steps
+    assert int(trainer.state.opt.step) == 3
+    assert (tmp_path / "acc" / "last.npz").exists()
     res = trainer.validate(use_ema=False)
     assert np.isfinite(res.map50)
