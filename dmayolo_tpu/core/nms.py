@@ -70,33 +70,22 @@ def nms_single(boxes, scores, iou_thres: float, max_det: int = 300):
     return keep_idx, keep_valid
 
 
-def nms_matrix(boxes, scores, iou_thres: float, max_det: int = 300):
-    """Greedy NMS via the suppression-DAG fixpoint — batched, MXU-friendly.
+def _fixpoint_keep(iou, valid, iou_thres: float):
+    """Greedy-keep flags via the suppression-DAG fixpoint on a dense IoU.
 
-    keep_j = NOT exists i<j (rank order): keep_i AND iou_ij > thr.
-    The map T(k)_j = ¬∨_{i<j} S_ij k_i is antitone, so iterating from
-    all-true brackets the unique greedy fixpoint from both sides and
-    converges in suppression-chain-depth steps (typically < 10, vs the
-    scan backend's max_det sequential steps).  Each iteration is one
-    (B,K,K)x(B,K) matvec.  Exact: the loop runs until the bracket closes.
+    keep_j = NOT exists i<j (rank order): keep_i AND iou_ij > thr. The map
+    T(k)_j = ¬∨_{i<j} S_ij k_i is antitone, so iterating from all-true
+    brackets the unique greedy fixpoint from both sides and converges in
+    suppression-chain-depth steps (typically < 10). Each iteration is one
+    (B,K,K)x(B,K) matvec on the MXU.
 
     Args:
-        boxes: (B, K, 4) xyxy sorted by score desc (class-offset applied).
-        scores: (B, K), NEG_INF for invalid.
-    Returns (keep_idx (B, max_det) int32, keep_valid (B, max_det) bool).
+        iou: (B, K, K) pairwise IoU (rank-sorted candidates).
+        valid: (B, K) candidate liveness.
+    Returns keep: (B, K) bool.
     """
-    b, k, _ = boxes.shape
-    x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
-    area = (x2 - x1) * (y2 - y1)
-    ix1 = jnp.maximum(x1[:, :, None], x1[:, None, :])
-    iy1 = jnp.maximum(y1[:, :, None], y1[:, None, :])
-    ix2 = jnp.minimum(x2[:, :, None], x2[:, None, :])
-    iy2 = jnp.minimum(y2[:, :, None], y2[:, None, :])
-    inter = jnp.clip(ix2 - ix1, 0, None) * jnp.clip(iy2 - iy1, 0, None)
-    iou = inter / (area[:, :, None] + area[:, None, :] - inter + 1e-7)
-    valid = scores > NEG_INF / 2
+    k = iou.shape[-1]
     rank = jnp.arange(k)
-    # S[b, i, j]: higher-ranked valid i suppresses j
     S = (
         (iou > iou_thres)
         & (rank[None, :, None] < rank[None, None, :])
@@ -120,8 +109,96 @@ def nms_matrix(boxes, scores, iou_thres: float, max_det: int = 300):
     lo0 = T(valid)        # after one step from all-true (lower bracket)
     hi0 = T(lo0)          # upper bracket
     lo, hi, _ = jax.lax.while_loop(cond, body, (lo0, hi0, jnp.int32(0)))
-    keep = lo  # == hi at the fixpoint
+    return lo  # == hi at the fixpoint
 
+
+def _pairwise_iou(b1, b2):
+    """(…, M, 4) x (…, N, 4) xyxy -> (…, M, N) IoU."""
+    a1 = (b1[..., 2] - b1[..., 0]) * (b1[..., 3] - b1[..., 1])
+    a2 = (b2[..., 2] - b2[..., 0]) * (b2[..., 3] - b2[..., 1])
+    ix1 = jnp.maximum(b1[..., :, None, 0], b2[..., None, :, 0])
+    iy1 = jnp.maximum(b1[..., :, None, 1], b2[..., None, :, 1])
+    ix2 = jnp.minimum(b1[..., :, None, 2], b2[..., None, :, 2])
+    iy2 = jnp.minimum(b1[..., :, None, 3], b2[..., None, :, 3])
+    inter = jnp.clip(ix2 - ix1, 0, None) * jnp.clip(iy2 - iy1, 0, None)
+    return inter / (a1[..., :, None] + a2[..., None, :] - inter + 1e-7)
+
+
+def nms_matrix_blocked(boxes, scores, iou_thres: float, max_det: int = 300,
+                       block: int = 256):
+    """Exact greedy NMS, block-sequential: memory O(B*C*K), not O(B*K*K).
+
+    Rank-sorted candidates are processed in blocks of C. Per block:
+    (1) the C x C within-block fixpoint resolves keeps given earlier
+    suppression, (2) one (B,C,K) cross-IoU marks everything the block's
+    keepers suppress downstream. Equivalent to full greedy NMS (suppression
+    only flows from higher to lower rank), but each step is MXU/VPU-dense
+    and the peak live tensor is C x K. Sequential depth = K/C blocks.
+    """
+    b, k, _ = boxes.shape
+    c = min(block, k)
+    m = -(-k // c)
+    pad = m * c - k
+    if pad:
+        boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    kp = m * c
+    valid_all = scores > NEG_INF / 2
+    blk_boxes = boxes.reshape(b, m, c, 4).transpose(1, 0, 2, 3)   # (m,B,C,4)
+    blk_valid = valid_all.reshape(b, m, c).transpose(1, 0, 2)     # (m,B,C)
+    rank = jnp.arange(kp)
+
+    def step(suppressed, inp):
+        bi, bboxes, bvalid = inp
+        start = bi * c
+        alive = bvalid & ~jax.lax.dynamic_slice(
+            suppressed, (jnp.int32(0), start), (b, c)
+        )
+        iou_in = _pairwise_iou(bboxes, bboxes)                    # (B,C,C)
+        keep_blk = _fixpoint_keep(iou_in, alive, iou_thres)       # (B,C)
+        # propagate: block keepers suppress lower-ranked candidates only
+        # (within-block rank order was already resolved by the fixpoint)
+        iou_x = _pairwise_iou(bboxes, boxes)                      # (B,C,KP)
+        sup = jnp.einsum(
+            "bck,bc->bk",
+            (iou_x > iou_thres).astype(jnp.bfloat16),
+            keep_blk.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) > 0.5
+        sup = jnp.where(rank[None, :] >= start + c, sup, False)
+        return suppressed | sup, keep_blk
+
+    suppressed0 = jnp.zeros((b, kp), bool)
+    _, keeps = jax.lax.scan(
+        step, suppressed0, (jnp.arange(m, dtype=jnp.int32), blk_boxes, blk_valid)
+    )
+    keep = keeps.transpose(1, 0, 2).reshape(b, kp)[:, :k]
+
+    keep_scores = jnp.where(keep, scores[:, :k], NEG_INF)
+    top_scores, keep_idx = jax.lax.top_k(keep_scores, max_det)
+    return keep_idx.astype(jnp.int32), top_scores > NEG_INF / 2
+
+
+def nms_matrix(boxes, scores, iou_thres: float, max_det: int = 300,
+               block: int = 512):
+    """Greedy NMS via the suppression-DAG fixpoint — batched, MXU-friendly.
+
+    For K <= `block` candidates, one dense (B,K,K) fixpoint
+    (_fixpoint_keep). Beyond that the (B,K,K) IoU would dominate HBM
+    (bench shapes B=64,K=2048 -> 0.5 GB), so the computation switches to
+    the block-sequential form (nms_matrix_blocked) whose peak live tensor
+    is (B, block, K). Both are exact greedy NMS.
+
+    Args:
+        boxes: (B, K, 4) xyxy sorted by score desc (class-offset applied).
+        scores: (B, K), NEG_INF for invalid.
+    Returns (keep_idx (B, max_det) int32, keep_valid (B, max_det) bool).
+    """
+    b, k, _ = boxes.shape
+    if k > block:
+        return nms_matrix_blocked(boxes, scores, iou_thres, max_det, block)
+    valid = scores > NEG_INF / 2
+    keep = _fixpoint_keep(_pairwise_iou(boxes, boxes), valid, iou_thres)
     keep_scores = jnp.where(keep, scores, NEG_INF)
     top_scores, keep_idx = jax.lax.top_k(keep_scores, max_det)
     return keep_idx.astype(jnp.int32), top_scores > NEG_INF / 2

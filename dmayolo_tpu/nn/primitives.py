@@ -115,6 +115,8 @@ class Conv2d(Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.g,
         )
+        # (a space-to-depth rewrite of the 6x6/s2 stem was measured SLOWER
+        # than XLA's native handling on v5e — don't re-add it)
         bias = v.params.get(self.path + ("bias",))
         if bias is not None:
             y = y + bias.astype(y.dtype)
@@ -149,6 +151,9 @@ class BatchNorm2d(Module):
 
     def __call__(self, v: Vars, x):
         in_dtype = x.dtype
+        if self.path + ("scale",) not in v.params:
+            # folded into the preceding conv by fuse_params (ctx.fused)
+            return x
         scale = v.params[self.path + ("scale",)]
         bias = v.params[self.path + ("bias",)]
         if v.ctx.train:
@@ -167,8 +172,15 @@ class BatchNorm2d(Module):
                     (1 - m) * v.stats[self.path + ("var",)] + m * unbiased
                 )
         else:
+            # inference: the affine is a per-channel (a, b) computed in f32
+            # (O(C) work), applied in the ACTIVATION dtype — upcasting the
+            # whole tensor to f32 would double the HBM traffic of every
+            # unfused BN for a sub-bf16-rounding gain
             mean = v.stats[self.path + ("mean",)]
             var = v.stats[self.path + ("var",)]
+            a = jax.lax.rsqrt(var + self.eps) * scale
+            b = bias - mean * a
+            return x * a.astype(in_dtype) + b.astype(in_dtype)
         inv = jax.lax.rsqrt(var + self.eps) * scale
         return ((x.astype(jnp.float32) - mean) * inv + bias).astype(in_dtype)
 

@@ -132,6 +132,44 @@ def test_fuse_params_preserves_outputs():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_fuse_params_folds_non_convbn_pairs():
+    """SCConv k2/k3/k4, CoorAttention conv1->bn1 and GhostV2 ConvUnit carry
+    raw Conv2d+BatchNorm2d pairs; fuse_params must fold them (the r2 perf
+    profile showed them dominating the 'fused' forward) with identical
+    outputs and no leftover bn params."""
+    from dmayolo_tpu.graph import DetectionModel
+    from dmayolo_tpu.nn.fuse import fuse_params
+
+    cfg = {
+        "nc": 3,
+        "depth_multiple": 1.0,
+        "width_multiple": 1.0,
+        "anchors": [[10, 13, 16, 30, 33, 23]] * 3,
+        "backbone": [
+            [-1, 1, "Conv", [16, 6, 2, 2]],
+            [-1, 1, "SCConv", [16]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "C3CA", [32]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "C3GhostV2", [32]],
+        ],
+        "head": [[[2, 4, 5], 1, "Detect", ["nc", "anchors"]]],
+    }
+    m = DetectionModel(cfg)
+    params, stats = m.init_with_priors(jax.random.PRNGKey(5))
+    stats = {k: v + 0.2 if k[-1] == "mean" else v * 1.4 for k, v in stats.items()}
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    ref = m.apply(params, stats, x)
+    fp, fs = fuse_params(m, params, stats)
+    assert not any("bn" in k[-2] or k[-2] == "bn1" for k in fs), "BN stats left unfused"
+    fused = m.apply(fp, fs, x, fused=True)
+    for a, b in zip(ref, fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    # idempotent on already-fused params
+    fp2, fs2 = fuse_params(m, fp, fs)
+    assert set(fp2) == set(fp) and set(fs2) == set(fs)
+
+
 def test_callbacks_bus():
     cb = Callbacks()
     hits = []
