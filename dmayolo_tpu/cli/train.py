@@ -69,7 +69,8 @@ def main(argv=None):
             t = _make_trainer(opt, h, str(out / "evolve_run"))
             return t.train()
 
-        best = evolve(train_once, hyp, generations=opt.evolve, out_dir=str(out))
+        best = evolve(train_once, hyp, generations=opt.evolve, out_dir=str(out),
+                      autoanchor=not opt.noautoanchor)
         print("evolved hyp:", best)
         return best
 

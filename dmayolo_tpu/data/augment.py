@@ -208,6 +208,63 @@ def mixup(im, labels, im2, labels2, rng: random.Random = random):
     return im, np.concatenate((labels, labels2), 0)
 
 
+def blur(im, k: int):
+    """Box blur with an odd kernel (cv2.blur)."""
+    return cv2.blur(im, (k, k))
+
+
+def median_blur(im, k: int):
+    """Median blur with an odd kernel (cv2.medianBlur)."""
+    return cv2.medianBlur(im, k)
+
+
+def to_gray(im):
+    """Collapse to luma and replicate back to 3 channels (BGR input)."""
+    g = cv2.cvtColor(im, cv2.COLOR_BGR2GRAY)
+    return cv2.cvtColor(g, cv2.COLOR_GRAY2BGR)
+
+
+def clahe(im, clip_limit: float = 2.0, tile: int = 8):
+    """Contrast-limited adaptive histogram equalisation on the LAB
+    lightness channel (BGR in/out)."""
+    lab = cv2.cvtColor(im, cv2.COLOR_BGR2LAB)
+    lab[..., 0] = cv2.createCLAHE(
+        clipLimit=float(clip_limit), tileGridSize=(tile, tile)
+    ).apply(lab[..., 0])
+    return cv2.cvtColor(lab, cv2.COLOR_LAB2BGR)
+
+
+def brightness_contrast(im, alpha: float = 1.0, beta: float = 0.0):
+    """out = clip(im * alpha + beta * 255); alpha = contrast, beta = brightness."""
+    return np.clip(im.astype(np.float32) * alpha + beta * 255.0, 0, 255).astype(np.uint8)
+
+
+def photometric(im, hyp, rng: random.Random = random):
+    """Native equivalent of the reference's optional Albumentations pipeline
+    (utils/augmentations.py:17-45): blur / median-blur / grayscale / CLAHE /
+    brightness-contrast, each an independent per-image Bernoulli draw.
+
+    Gated behind hyp keys (all default 0 = off, like cutout):
+      blur, median_blur, to_gray, clahe, brightness_contrast
+    The reference pipeline's probabilities are (0.01, 0.3, 0.01, 0.3, 0.3);
+    its kernel/clip parameter draws are reproduced here. Photometric only —
+    boxes are untouched.
+    """
+    if rng.random() < hyp.get("blur", 0.0):
+        im = blur(im, rng.choice([3, 5, 7]))
+    if rng.random() < hyp.get("median_blur", 0.0):
+        im = median_blur(im, rng.choice([3, 5, 7]))
+    if rng.random() < hyp.get("to_gray", 0.0):
+        im = to_gray(im)
+    if rng.random() < hyp.get("clahe", 0.0):
+        im = clahe(im, clip_limit=rng.uniform(1.0, 4.0))
+    if rng.random() < hyp.get("brightness_contrast", 0.0):
+        im = brightness_contrast(
+            im, alpha=1.0 + rng.uniform(-0.2, 0.2), beta=rng.uniform(-0.2, 0.2)
+        )
+    return im
+
+
 def cutout(im, labels, p=0.5, rng: random.Random = random):
     """Random occlusion squares.  ref: utils/augmentations.py:236-254."""
     if rng.random() >= p:

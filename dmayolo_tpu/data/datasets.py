@@ -24,7 +24,8 @@ import numpy as np
 import yaml
 
 from .augment import (augment_hsv, copy_paste, cutout, flip_lr, flip_ud,
-                      letterbox, mixup, random_perspective, segments2boxes)
+                      letterbox, mixup, photometric, random_perspective,
+                      segments2boxes)
 
 IMG_FORMATS = {"bmp", "jpg", "jpeg", "png", "tif", "tiff", "dng", "webp", "mpo"}
 
@@ -450,6 +451,9 @@ class DetectionDataset:
             else:
                 cutout(img, np.zeros((0, 5), np.float32), p=hyp["cutout"], rng=self.rng)
         if self.augment:
+            # photometric pipeline sits where the reference runs its optional
+            # Albumentations pass: after geometry, before HSV (datasets.py:585)
+            img = photometric(img, hyp, self.rng)
             augment_hsv(
                 img,
                 hyp.get("hsv_h", 0.015),

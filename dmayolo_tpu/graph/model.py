@@ -106,7 +106,11 @@ class DetectionModel(Module):
         if nc and nc != self.yaml.get("nc"):
             self.yaml["nc"] = nc
         if anchors:
-            self.yaml["anchors"] = anchors
+            # numeric override (e.g. hyp 'anchors: 3.2') selects round(n)
+            # anchors/level for autoanchor re-clustering, ref yolo.py:142-144
+            self.yaml["anchors"] = (
+                round(anchors) if isinstance(anchors, (int, float)) else anchors
+            )
         self.nc = self.yaml["nc"]
 
         mods, self.specs, self.save = self._parse(self.yaml, self.ch)

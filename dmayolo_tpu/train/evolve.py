@@ -29,6 +29,7 @@ META = {
     "obj_pw": (1, 0.5, 2.0),
     "iou_t": (0, 0.1, 0.7),
     "anchor_t": (1, 2.0, 8.0),
+    "anchors": (2, 2.0, 10.0),  # anchors per level (ref train.py:731)
     "fl_gamma": (0, 0.0, 2.0),
     "hsv_h": (1, 0.0, 0.1),
     "hsv_s": (1, 0.0, 0.9),
@@ -93,12 +94,17 @@ def log_generation(evolve_csv: Path, fitness: float, hyp: Dict):
 
 
 def evolve(train_fn: Callable[[Dict], float], base_hyp: Dict, generations: int = 300,
-           out_dir="runs/evolve", seed: int = 0) -> Dict:
+           out_dir="runs/evolve", seed: int = 0, autoanchor: bool = True) -> Dict:
     """Run the GA: train_fn(hyp) -> fitness.  Returns the best hyp found."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     evolve_csv = out / "evolve.csv"
     rng = random.Random(seed)
+    base_hyp = dict(base_hyp)
+    if autoanchor:
+        base_hyp.setdefault("anchors", 3)  # ref train.py:750-751
+    else:
+        base_hyp.pop("anchors", None)  # ref train.py:748-749
     best_f, best_h = -1.0, dict(base_hyp)
     for gen in range(generations):
         hyp = mutate(dict(base_hyp), evolve_csv, rng)

@@ -108,7 +108,9 @@ class Trainer:
         # checkpoints must be self-describing: store the path, or the full
         # config dict when built from one
         self.cfg_ref = str(cfg) if isinstance(cfg, (str, Path)) else dict(cfg)
-        self.model = DetectionModel(cfg, nc=nc)
+        # hyp 'anchors' (e.g. hyp.finetune_objects365) overrides the yaml
+        # anchor count for autoanchor re-clustering, ref train.py:150
+        self.model = DetectionModel(cfg, nc=nc, anchors=self.hyp.get("anchors"))
         self.nc = nc
 
         # mesh: default all local devices on the data axis
