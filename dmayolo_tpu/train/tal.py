@@ -174,7 +174,13 @@ class ComputeLossTAL:
             targets.mask,
         )
         tb = tb / stride_tensor[None]  # back to feature units
-        ts_sum = jnp.maximum(jnp.sum(ts), 1.0)
+        # the fork divides by the RAW score sum (tal.py:146) — no clamp to 1
+        # (that's a later upstream change). Early in training the assigned
+        # sigmoid scores sum << 1, so clamping would shrink every component
+        # by the same large factor. Guard only the exact-zero case (no gt in
+        # the whole batch), where the reference itself would produce nan.
+        raw_sum = jnp.sum(ts)
+        ts_sum = jnp.where(raw_sum > 0, raw_sum, 1.0)
 
         # cls BCE (ref tal.py:148)
         lcls = jnp.sum(bce_with_logits(pred_scores, ts, self.cls_pw)) / ts_sum

@@ -66,7 +66,12 @@ def state_dict_to_numpy(obj) -> Dict[str, np.ndarray]:
     out = {}
     for k, t in obj.items():
         if hasattr(t, "detach"):
-            t = t.detach().cpu().float().numpy()
+            # .numpy() on a float32 CPU tensor is a VIEW of the live torch
+            # storage (and jax's CPU backend zero-copies aligned numpy
+            # arrays), so without the copy an in-place torch update —
+            # optimizer.step() on a model that keeps training — would
+            # silently mutate the imported params. Always snapshot.
+            t = t.detach().cpu().float().numpy().copy()
         out[k] = np.asarray(t)
     return out
 
