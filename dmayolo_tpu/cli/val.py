@@ -25,6 +25,9 @@ def build_parser():
     p.add_argument("--augment", action="store_true", help="TTA")
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--save-conf", action="store_true")
+    p.add_argument("--save-json", action="store_true",
+                   help="write COCO-format predictions json (+COCOeval when "
+                        "pycocotools is importable; ref val.py:270-341)")
     p.add_argument("--project", type=str, default="runs/val")
     p.add_argument("--name", type=str, default="exp")
     p.add_argument("--exist-ok", action="store_true")
@@ -86,6 +89,14 @@ def main(argv=None):
         print(f"study -> {out/'study.csv'}")
         return rows
 
+    jdict = [] if opt.save_json else None
+    if opt.save_json:
+        from ..eval.coco_json import coco80_to_coco91_class, is_coco_data
+
+        class_map = coco80_to_coco91_class() if is_coco_data(data) else None
+    else:
+        class_map = None
+
     res = run_validation(
         model, params, stats, split,
         img_size=opt.imgsz, batch_size=opt.batch_size, nc=data["nc"],
@@ -97,7 +108,21 @@ def main(argv=None):
         augment=opt.augment,
         rect=opt.rect,
         single_cls=opt.single_cls,
+        save_json=jdict,
+        class_map=class_map,
     )
+    if jdict is not None:
+        from ..eval.coco_json import evaluate_coco, is_coco_data, write_coco_json
+
+        w = Path(opt.weights).stem
+        pred_json = write_coco_json(jdict, out / f"{w}_predictions.json")
+        print(f"saved {len(jdict)} COCO prediction entries -> {pred_json}")
+        anno_json = Path(data.get("path", "../coco")) / "annotations/instances_val2017.json"
+        coco_res = evaluate_coco(pred_json, anno_json) if anno_json.exists() else None
+        if coco_res is not None:
+            print(f"COCOeval: mAP@.5:.95={coco_res[0]:.4f} mAP@.5={coco_res[1]:.4f}")
+        elif not anno_json.exists():
+            print(f"COCOeval skipped: annotations not found at {anno_json}")
     print(res.summary())
     print("speed:", {k: f"{v:.2f}ms" for k, v in res.speed_ms.items()})
     if res.maps is not None:

@@ -1,0 +1,85 @@
+"""COCO-format prediction export + optional pycocotools evaluation.
+
+Reference surface: val.py:50-60 (save_one_json), val.py:325-341 (COCOeval),
+utils/general.py:517-525 (coco80_to_coco91_class). Output entries are
+protocol-identical: {"image_id", "category_id", "bbox" [x,y,w,h] top-left,
+"score"} with bbox rounded to 3 decimals and score to 5.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+# 80-class (detection) index -> 91-class (paper) COCO category id.
+# Standard public mapping (reference general.py:517-525).
+_COCO91 = [
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+    22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42,
+    43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61,
+    62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84,
+    85, 86, 87, 88, 89, 90,
+]
+
+
+def coco80_to_coco91_class() -> List[int]:
+    return list(_COCO91)
+
+
+def is_coco_data(data: Dict) -> bool:
+    """Reference heuristic: val split ends with coco/val2017.txt (val.py:153)."""
+    val = data.get("val")
+    return isinstance(val, str) and val.endswith("coco/val2017.txt")
+
+
+def append_coco_json(jdict: List[dict], dets_native: np.ndarray, stem: str,
+                     class_map: Sequence[int]) -> None:
+    """Append one image's detections (native-space (k,6) xyxy/conf/cls) as
+    COCO result entries.  ref: val.py:50-60."""
+    image_id = int(stem) if stem.isnumeric() else stem
+    d = np.asarray(dets_native, np.float64)
+    for x1, y1, x2, y2, conf, cls in d:
+        jdict.append({
+            "image_id": image_id,
+            "category_id": class_map[int(cls)],
+            "bbox": [round(v, 3) for v in (x1, y1, x2 - x1, y2 - y1)],
+            "score": round(float(conf), 5),
+        })
+
+
+def write_coco_json(jdict: List[dict], path) -> Path:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(jdict, f)
+    return path
+
+
+def evaluate_coco(pred_json, anno_json, img_ids: Optional[List[int]] = None):
+    """Run pycocotools COCOeval (bbox) when the package is importable.
+
+    Returns (map, map50) or None (with a printed explanation) — matching the
+    reference's try/except behaviour (val.py:327-341).
+    """
+    try:
+        from pycocotools.coco import COCO
+        from pycocotools.cocoeval import COCOeval
+    except ImportError as e:
+        print(f"pycocotools unable to run: {e} — predictions saved to "
+              f"{pred_json}; run COCOeval offline.")
+        return None
+    try:
+        anno = COCO(str(anno_json))
+        pred = anno.loadRes(str(pred_json))
+        ev = COCOeval(anno, pred, "bbox")
+        if img_ids is not None:
+            ev.params.imgIds = img_ids
+        ev.evaluate()
+        ev.accumulate()
+        ev.summarize()
+        return float(ev.stats[0]), float(ev.stats[1])
+    except Exception as e:  # anno file missing / malformed preds
+        print(f"pycocotools unable to run: {e}")
+        return None

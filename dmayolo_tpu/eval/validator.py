@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..core.nms import batched_nms
 from ..data.datasets import DetectionDataset
+from .coco_json import append_coco_json
 from ..data.loader import DataLoader
 from ..eval.metrics import ap_per_class, process_batch
 from .tta import forward_augment
@@ -130,6 +131,8 @@ def run_validation(
     single_cls: bool = False,
     max_nms: int = 30000,
     nms_backend: str = "scan",
+    save_json: Optional[list] = None,
+    class_map=None,
 ) -> ValResult:
     """rect=True enables the reference's aspect-sorted rectangular batches
     (val.py:172, pad 0.5) — shapes are bucketed per batch, so XLA compiles
@@ -208,13 +211,21 @@ def run_validation(
             correct = process_batch(d, labels, iouv)
             stats_acc.append((correct, d[:, 4], d[:, 5], cls))
 
-            if save_txt_dir is not None and batch.indices is not None:
+            if (save_txt_dir is not None or save_json is not None) \
+                    and batch.indices is not None:
                 idx = batch.indices[i]
                 native = tuple(ds.shapes[idx])
                 dn = d.copy()
                 dn[:, :4] = _scale_to_native(d[:, :4], (h, w), native)
                 stem = Path(ds.im_files[idx]).stem
-                _save_txt(dn, native, save_txt_dir / f"{stem}.txt", save_conf)
+                if save_txt_dir is not None:
+                    _save_txt(dn, native, save_txt_dir / f"{stem}.txt", save_conf)
+                if save_json is not None:  # COCO entries, ref val.py:273
+                    append_coco_json(
+                        jdict=save_json, dets_native=dn, stem=stem,
+                        class_map=class_map if class_map is not None
+                        else list(range(1000)),
+                    )
 
     if not stats_acc:
         return ValResult()
