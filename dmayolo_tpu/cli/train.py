@@ -21,7 +21,8 @@ def build_parser():
     p.add_argument("--hyp", type=str, default="scratch", help="hyp yaml")
     p.add_argument("--weights", type=str, default="", help="pretrained npz checkpoint")
     p.add_argument("--epochs", type=int, default=300)
-    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=16,
+                   help="-1 = autobatch from device memory (ref autobatch.py)")
     p.add_argument("--imgsz", "--img", "--img-size", type=int, default=640, dest="imgsz")
     p.add_argument("--adam", action="store_true")
     p.add_argument("--linear-lr", action="store_true")
@@ -34,6 +35,11 @@ def build_parser():
     p.add_argument("--patience", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--noautoanchor", action="store_true")
+    p.add_argument("--ckpt-async", action="store_true",
+                   help="orbax async sharded checkpoints (pod-scale saves)")
+    p.add_argument("--device-aug", action="store_true",
+                   help="fuse HSV jitter + lr-flip into the jitted train "
+                        "step (host ships raw uint8)")
     p.add_argument("--max-targets", type=int, default=128)
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--spatial-shard", action="store_true",
@@ -61,6 +67,31 @@ def main(argv=None):
 
     out = increment_path(f"{opt.project}/{opt.name}", exist_ok=opt.exist_ok)
     hyp = load_hyp(opt.hyp)
+
+    if opt.batch_size == -1:  # HBM-aware batch search (ref utils/autobatch.py:47)
+        import jax
+        import jax.numpy as jnp
+
+        from ..data.datasets import check_dataset
+        from ..graph import DetectionModel
+        from ..train.autobatch import find_train_batch_size
+
+        data = check_dataset(opt.data)
+        model = DetectionModel(resolve_config(opt.cfg, "models"), nc=data["nc"])
+        if opt.assignment == "tal":
+            from ..train.tal import ComputeLossTAL
+
+            loss = ComputeLossTAL(model.stride, nc=data["nc"], hyp=dict(hyp))
+        else:
+            from ..train.loss import ComputeLoss
+
+            loss = ComputeLoss(model.head.anchors, dict(hyp), nc=data["nc"])
+        opt.batch_size = find_train_batch_size(
+            model, loss, dict(hyp), img_size=opt.imgsz,
+            dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
+            max_targets=opt.max_targets,
+            multiple_of=max(jax.local_device_count(), 1),
+        )
 
     if opt.evolve:
         from ..train.evolve import evolve
@@ -110,6 +141,8 @@ def _make_trainer(opt, hyp, out_dir):
         resume_from=opt.resume if opt.resume and opt.resume != "auto" else None,
         pretrained=opt.weights or None,
         accumulate=opt.accumulate or None,
+        ckpt_async=opt.ckpt_async,
+        device_aug=opt.device_aug,
     )
 
 

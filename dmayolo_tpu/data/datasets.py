@@ -295,7 +295,7 @@ class DetectionDataset:
             im4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
             padw, padh = x1a - x1b, y1a - y1b
             lb = self.labels[idx].copy()
-            segs = [sg.copy() for sg in self.segments[idx]] if self.segments[idx] else []
+            segs = [sg.copy() for sg in self.segments[idx]] if len(self.segments[idx]) else []
             if len(lb):
                 lb[:, 1:] = _xywhn2xyxy_np(lb[:, 1:], w, h, padw, padh)
                 for sg in segs:
@@ -356,7 +356,7 @@ class DetectionDataset:
             padx, pady = c[:2]
             x1, y1, x2, y2 = (max(v, 0) for v in c)
             lb = self.labels[idx].copy()
-            segs = [sg.copy() for sg in self.segments[idx]] if self.segments[idx] else []
+            segs = [sg.copy() for sg in self.segments[idx]] if len(self.segments[idx]) else []
             if lb.size:
                 lb[:, 1:] = _xywhn2xyxy_np(lb[:, 1:], w, h, padx, pady)
                 for sg in segs:

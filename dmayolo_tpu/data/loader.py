@@ -52,7 +52,14 @@ class DataLoader:
 
     def __init__(self, dataset: DetectionDataset, batch_size: int,
                  max_targets: int = 128, shuffle: bool = True,
-                 workers: int = 4, seed: int = 0, drop_last: bool = True):
+                 workers: int = 4, seed: int = 0, drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1):
+        """process_index/process_count: multi-host input sharding — this
+        host reads only its rank::world stripe of the dataset and yields
+        the LOCAL slice (global_batch/process_count rows) of every batch;
+        combine with parallel.mesh.globalize_batch. The reference's analog
+        is DistributedSampler + batch_size//WORLD_SIZE (datasets.py:112,
+        train.py:279)."""
         self.ds = dataset
         self.bs = batch_size
         self.max_targets = max_targets
@@ -60,6 +67,10 @@ class DataLoader:
         self.workers = max(1, workers)
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        assert batch_size % process_count == 0, (batch_size, process_count)
+        self.process_index = process_index
+        self.process_count = process_count
+        self.local_bs = batch_size // process_count
 
     def __len__(self):
         n = len(self.ds)
@@ -79,8 +90,15 @@ class DataLoader:
             if self.shuffle:
                 self.rng.shuffle(order)
         nb = len(self)
+        lo = self.process_index * self.local_bs
         for i in range(nb):
-            yield order[i * self.bs : (i + 1) * self.bs].tolist()
+            g = order[i * self.bs : (i + 1) * self.bs]
+            if self.process_count > 1 and len(g) < self.bs:
+                g = np.resize(g, self.bs)  # wrap-pad (DistributedSampler-style)
+            # identical seed => identical global order on every host; each
+            # host materialises only its contiguous row block (the rows of
+            # the shards its local devices own under a 'data' sharding)
+            yield g[lo : lo + self.local_bs].tolist()
 
     def __iter__(self) -> Iterator[Batch]:
         work: "queue.Queue" = queue.Queue()

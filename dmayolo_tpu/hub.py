@@ -14,11 +14,32 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from collections import OrderedDict
+
 from .core.nms import batched_nms
 from .data.augment import letterbox
 from .eval.validator import _scale_to_native
 from .graph import DetectionModel
 from .nn.fuse import fuse_params
+
+
+class _LRUCache(OrderedDict):
+    """Small shape->compiled-fn cache with least-recently-used eviction."""
+
+    def __init__(self, maxsize: int = 8):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def __getitem__(self, key):
+        val = super().__getitem__(key)
+        self.move_to_end(key)
+        return val
+
+    def __setitem__(self, key, val):
+        super().__setitem__(key, val)
+        self.move_to_end(key)
+        while len(self) > self.maxsize:
+            self.popitem(last=False)
 
 
 def load(weights=None, cfg: Optional[str] = None,
@@ -64,7 +85,9 @@ class AutoShape:
         self.stats = stats
         self.names = names or [str(i) for i in range(model.nc)]
         self.dtype = dtype
-        self._infer_cache = {}
+        # LRU-bounded: a stream of odd-sized inputs must not compile without
+        # bound (each distinct letterboxed shape is one XLA program)
+        self._infer_cache = _LRUCache(maxsize=8)
 
     def _infer(self, shape):
         # params passed as jit args (closure capture would embed them as

@@ -51,3 +51,35 @@ def shard_batch(mesh: Mesh, batch, spatial: bool = False):
 
 def replicate_tree(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
+
+
+def globalize_batch(mesh: Mesh, local_batch, spatial: bool = False):
+    """Assemble the GLOBAL sharded batch from this host's local shard.
+
+    The multi-host input path: each host loads global_batch/process_count
+    images (see DataLoader process sharding) and contributes them as the
+    shards it owns — no host ever materialises the full batch, and no
+    cross-host gather happens (the reference ships this as DistributedSampler
+    + per-rank batch_size//WORLD_SIZE, train.py:279 / datasets.py:112).
+    Single-process: local == global, identical to shard_batch."""
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh, spatial), np.asarray(local_batch)
+    )
+
+
+def globalize_targets(mesh: Mesh, local_tree):
+    """Same as globalize_batch for a pytree of per-sample target arrays."""
+    sh = NamedSharding(mesh, P("data"))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local_tree,
+    )
+
+
+def process_shard_indices(n: int, process_index: Optional[int] = None,
+                          process_count: Optional[int] = None) -> np.ndarray:
+    """This host's sample indices: rank::world striding over the dataset —
+    the reference's DistributedSampler convention (datasets.py:112)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return np.arange(pi, n, pc)

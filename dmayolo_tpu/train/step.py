@@ -59,6 +59,7 @@ def make_train_step(
     adam: bool = False,
     dtype=jnp.bfloat16,
     accumulate: int = 1,
+    device_aug: Optional[Dict] = None,
 ):
     """Build the jittable step.
 
@@ -70,6 +71,11 @@ def make_train_step(
         weight_decay: already scaled by bs*accumulate/nbs (ref train.py:191).
         accumulate: microbatches per optimizer step; the incoming batch's
             leading dim must be accumulate*micro_bs.
+        device_aug: None, or {'hgain','sgain','vgain','fliplr'} — fuse HSV
+            jitter + lr-flip (+target mirror) INTO the train step: the host
+            ships raw uint8 and the VPU does the color math, fused with the
+            /255 normalise (data/device_aug.py). The host pipeline must then
+            run with hsv/fliplr zeroed to avoid double augmentation.
 
     Step signature: (state, images f32/uint8 NHWC, Targets, rng) ->
         (state, metrics dict).
@@ -77,10 +83,29 @@ def make_train_step(
     opt_update = adam_step if adam else sgd_step
 
     def grad_one(params, stats, imgs, targets, rng):
+        if device_aug is not None:
+            from ..data.device_aug import augment_batch, flip_targets_lr
+
+            rng, r_aug = jax.random.split(rng)
+
         def lossfn(p):
-            x = imgs.astype(dtype) / 255.0 if imgs.dtype == jnp.uint8 else imgs.astype(dtype)
+            if device_aug is not None:
+                x, flipped = augment_batch(
+                    imgs, r_aug,
+                    hgain=device_aug.get("hgain", 0.015),
+                    sgain=device_aug.get("sgain", 0.7),
+                    vgain=device_aug.get("vgain", 0.4),
+                    fliplr_p=device_aug.get("fliplr", 0.5),
+                    dtype=dtype,
+                )
+                tgt = Targets(targets.cls,
+                              flip_targets_lr(targets.box, flipped),
+                              targets.mask)
+            else:
+                x = imgs.astype(dtype) / 255.0 if imgs.dtype == jnp.uint8 else imgs.astype(dtype)
+                tgt = targets
             raw, new_stats = model.apply(p, stats, x, train=True, rng=rng, dtype=dtype)
-            total, items = loss_fn(raw, targets)
+            total, items = loss_fn(raw, tgt)
             return total, (items, new_stats)
 
         (total, (items, new_stats)), grads = jax.value_and_grad(lossfn, has_aux=True)(params)

@@ -83,6 +83,8 @@ class Trainer:
         resume_from: Optional[str] = None,
         pretrained: Optional[str] = None,
         accumulate: Optional[int] = None,
+        ckpt_async: bool = False,
+        device_aug: bool = False,
     ):
         self.hyp = dict(hyp)
         self.epochs = epochs
@@ -99,6 +101,8 @@ class Trainer:
         self.seed = seed
         self.patience = patience
         self.val_interval = val_interval
+        self.ckpt_async = ckpt_async
+        self._async_ckptr = None
         self.multi_scale = multi_scale
         self.image_weights = image_weights
         self.single_cls = single_cls
@@ -127,9 +131,21 @@ class Trainer:
 
         from .optim import labels_to_class_weights  # noqa: F401 (used below)
 
+        # device-side augmentation: HSV + lr-flip move INTO the jitted train
+        # step (fused with normalise); the host pipeline must not also apply
+        # them, so the dataset sees those hyp keys zeroed
+        self.device_aug = (
+            {"hgain": h.get("hsv_h", 0.015), "sgain": h.get("hsv_s", 0.7),
+             "vgain": h.get("hsv_v", 0.4), "fliplr": h.get("fliplr", 0.5)}
+            if device_aug else None
+        )
+        host_h = dict(h)
+        if device_aug:
+            host_h.update(hsv_h=0.0, hsv_s=0.0, hsv_v=0.0, fliplr=0.0)
+
         # datasets/loaders
         self.train_ds = DetectionDataset(
-            self.data["train"], img_size=img_size, augment=True, hyp=h,
+            self.data["train"], img_size=img_size, augment=True, hyp=host_h,
             stride=int(self.model.stride.max()),
             nc=self.data["nc"], batch_size=batch_size,
             seed=seed, single_cls=single_cls, cache_images=cache_images,
@@ -181,6 +197,7 @@ class Trainer:
             self.model, self.loss, self.sched, labels,
             weight_decay=self.weight_decay, adam=adam, dtype=dtype,
             accumulate=self.accumulate,
+            device_aug=self.device_aug,
         )
         # donation is disabled everywhere: XLA CPU deadlocks on donated
         # buffers feeding collectives, and the axon TPU backend fails with
@@ -242,6 +259,33 @@ class Trainer:
     # -------------------------------------------------------------------
     def _save(self, name: str, epoch: int):
         s = self.state
+        meta = {
+            "epoch": epoch,
+            "best_fitness": float(self.best_fitness),
+            "step": int(s.opt.step),
+            "updates": int(s.ema_updates),
+            "nc": self.nc,
+            "cfg": self.cfg_ref,
+        }
+        if self.ckpt_async:
+            # orbax async sharded save: no device_get, no training stall —
+            # each host streams the shards it owns (pods); npz path below
+            # stays the single-host default
+            if self._async_ckptr is None:
+                from ..utils.orbax_ckpt import AsyncTrainCheckpointer
+
+                self._async_ckptr = AsyncTrainCheckpointer()
+            self._async_ckptr.wait()  # at most one in-flight write
+            self._async_ckptr.save(
+                self.out / (name + "_orbax"),
+                {
+                    "params": s.params, "stats": s.stats,
+                    "ema_params": s.ema_params, "ema_stats": s.ema_stats,
+                    "opt_mom": s.opt.mom, "opt_vel": s.opt.vel,
+                },
+                meta=meta,
+            )
+            return
         save_checkpoint(
             self.out / name,
             params=jax.device_get(s.params),
@@ -250,14 +294,7 @@ class Trainer:
             ema_stats=jax.device_get(s.ema_stats),
             opt_mom=jax.device_get(s.opt.mom),
             opt_vel=jax.device_get(s.opt.vel),
-            meta={
-                "epoch": epoch,
-                "best_fitness": float(self.best_fitness),
-                "step": int(s.opt.step),
-                "updates": int(s.ema_updates),
-                "nc": self.nc,
-                "cfg": self.cfg_ref,
-            },
+            meta=meta,
         )
 
     def _log_csv(self, row: Dict):
@@ -379,6 +416,8 @@ class Trainer:
             self._log_csv(row)
             self.callbacks.run("on_fit_epoch_end", row, epoch)
 
+        if self._async_ckptr is not None:  # drain the in-flight orbax write
+            self._async_ckptr.close()
         strip_checkpoint(self.out / "best") if (self.out / "best.npz").exists() else None
         self.loggers.finalize()
         self.callbacks.run("on_train_end")

@@ -56,3 +56,59 @@ def test_zero_gains_identity():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(imgs).astype(np.float32) / 255.0, atol=1e-5
     )
+
+
+def test_train_step_with_device_aug():
+    """--device-aug: augmentation runs inside the jitted step (uint8 in),
+    loss is finite, and zero-gain aug reproduces the un-augmented step."""
+    from dmayolo_tpu.graph import DetectionModel
+    from dmayolo_tpu.train.loss import ComputeLoss, Targets
+    from dmayolo_tpu.train.optim import Schedule, param_groups
+    from dmayolo_tpu.train.step import init_train_state, make_train_step
+
+    cfg = {
+        "nc": 3, "depth_multiple": 0.33, "width_multiple": 0.25,
+        "anchors": [[10, 13, 16, 30, 33, 23]] * 3,
+        "backbone": [
+            [-1, 1, "Conv", [32, 6, 2, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+        ],
+        "head": [[[2, 3, 4], 1, "Detect", ["nc", "anchors"]]],
+    }
+    hyp = {"box": 0.05, "obj": 1.0, "cls": 0.5, "cls_pw": 1.0, "obj_pw": 1.0,
+           "anchor_t": 4.0, "fl_gamma": 0.0, "label_smoothing": 0.0,
+           "lr0": 0.01, "lrf": 0.1, "momentum": 0.9, "weight_decay": 5e-4,
+           "warmup_epochs": 0.0, "warmup_momentum": 0.8, "warmup_bias_lr": 0.1}
+    model = DetectionModel(cfg, nc=3)
+    params, stats = model.init_with_priors(jax.random.PRNGKey(0))
+    loss = ComputeLoss(model.head.anchors, hyp, nc=3)
+    sched = Schedule(hyp, epochs=2, steps_per_epoch=4, warmup_min_iters=1)
+    labels = param_groups(model)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 128, 128, 3), dtype=np.uint8))
+    tgt = Targets(
+        jnp.asarray(rng.integers(0, 3, (2, 4)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.3, 0.7, (2, 4, 4)).astype(np.float32)),
+        jnp.asarray(np.ones((2, 4), bool)),
+    )
+    key = jax.random.PRNGKey(3)
+
+    def run(device_aug):
+        step = jax.jit(make_train_step(
+            model, loss, sched, labels, weight_decay=5e-4,
+            dtype=jnp.float32, device_aug=device_aug))
+        st, met = step(init_train_state(params, stats), imgs, tgt, key)
+        return float(met["loss"])
+
+    l_aug = run({"hgain": 0.015, "sgain": 0.7, "vgain": 0.4, "fliplr": 1.0})
+    l_plain = run(None)
+    l_zero = run({"hgain": 0.0, "sgain": 0.0, "vgain": 0.0, "fliplr": 0.0})
+    assert np.isfinite(l_aug) and np.isfinite(l_plain)
+    # zero gains + no flip == plain path (uint8/255 then identity aug)
+    np.testing.assert_allclose(l_zero, l_plain, rtol=1e-5)
+    # forced flip must change the loss
+    assert abs(l_aug - l_plain) > 1e-6
