@@ -40,6 +40,9 @@ def build_parser():
     p.add_argument("--device-aug", action="store_true",
                    help="fuse HSV jitter + lr-flip into the jitted train "
                         "step (host ships raw uint8)")
+    p.add_argument("--fastload", action="store_true",
+                   help="native C++ JPEG decode+resize input path "
+                        "(native/fastload.cpp; cv2 fallback per file)")
     p.add_argument("--max-targets", type=int, default=128)
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--spatial-shard", action="store_true",
@@ -143,6 +146,7 @@ def _make_trainer(opt, hyp, out_dir):
         accumulate=opt.accumulate or None,
         ckpt_async=opt.ckpt_async,
         device_aug=opt.device_aug,
+        fastload=opt.fastload,
     )
 
 

@@ -140,7 +140,7 @@ class DetectionDataset:
     def __init__(self, path, img_size=640, augment=False, hyp: Optional[Dict] = None,
                  rect=False, stride=32, pad=0.0, nc=80, batch_size=16,
                  seed: int = 0, cache_images=False, single_cls=False,
-                 cache_disk=False):
+                 cache_disk=False, fastload=False):
         self.img_size = img_size
         self.augment = augment
         self.hyp = hyp or {}
@@ -149,6 +149,7 @@ class DetectionDataset:
         self.pad = pad
         self.nc = nc
         self.mosaic = augment and not rect
+        self.fastload = fastload
         self.mosaic_border = (-img_size // 2, -img_size // 2)
         self.rng = random.Random(seed)
 
@@ -251,6 +252,18 @@ class DetectionDataset:
                 return out
             except Exception:
                 pass
+        if self.fastload:
+            # native decode+resize in one GIL-free call (JPEG only; falls
+            # back below for other formats / decode errors)
+            from . import fastload as _fl
+
+            res = _fl.load(self.im_files[i], self.img_size, self.augment)
+            if res is not None:
+                im, (h0, w0), hw = res
+                out = (im, (h0, w0), hw)
+                if self.cache_images:
+                    self._im_cache[i] = out
+                return out
         im = cv2.imread(self.im_files[i])  # BGR
         assert im is not None, f"Image Not Found {self.im_files[i]}"
         h0, w0 = im.shape[:2]

@@ -85,6 +85,7 @@ class Trainer:
         accumulate: Optional[int] = None,
         ckpt_async: bool = False,
         device_aug: bool = False,
+        fastload: bool = False,
     ):
         self.hyp = dict(hyp)
         self.epochs = epochs
@@ -149,6 +150,7 @@ class Trainer:
             stride=int(self.model.stride.max()),
             nc=self.data["nc"], batch_size=batch_size,
             seed=seed, single_cls=single_cls, cache_images=cache_images,
+            fastload=fastload,
         )
         self.train_loader = DataLoader(
             self.train_ds, batch_size, max_targets=max_targets, shuffle=True,
