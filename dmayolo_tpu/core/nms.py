@@ -214,6 +214,7 @@ def nms_matrix(boxes, scores, iou_thres: float, max_det: int = 300,
         "max_det",
         "max_nms",
         "backend",
+        "return_src",
     ),
 )
 def batched_nms(
@@ -226,6 +227,7 @@ def batched_nms(
     max_nms: int = 30000,
     class_mask=None,
     backend: str = "scan",
+    return_src: bool = False,
 ):
     """Full post-processing: (B, N, 5+nc) raw decode -> (B, max_det, 6) dets.
 
@@ -299,4 +301,11 @@ def batched_nms(
         [out_boxes, out_scores[..., None], out_cls[..., None]], axis=-1
     )
     dets = jnp.where(keep_valid[..., None], dets, 0.0)
+    if return_src:
+        # source candidate index in decode order (B, max_det) — lets tools
+        # (GradCAM) trace a kept detection back to its anchor cell
+        src = jnp.take_along_axis(top_idx, keep_idx, axis=1)
+        if multi_label:
+            src = src // nc
+        return dets, keep_valid, src.astype(jnp.int32)
     return dets, keep_valid
