@@ -67,7 +67,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import yaml
 
-    from ..core.nms import batched_nms
+    from ..core.nms import batched_nms, nms_parts
     from ..data.augment import letterbox
     from ..eval.tta import forward_augment
     from ..eval.validator import _scale_to_native
@@ -96,15 +96,22 @@ def main(argv=None):
         xf = x.astype(jnp.bfloat16) / 255.0
         if opt.augment:
             dec = forward_augment(model, p, s, xf, dtype=jnp.bfloat16, fused=True)
-        else:
-            dec = model.decode(model.apply(p, s, xf, dtype=jnp.bfloat16, fused=True))
-        if dec.shape[-1] == model.nc + 4:
-            dec = jnp.concatenate(
-                [dec[..., :4], jnp.ones_like(dec[..., :1]), dec[..., 4:]], axis=-1
+            if dec.shape[-1] == model.nc + 4:
+                dec = jnp.concatenate(
+                    [dec[..., :4], jnp.ones_like(dec[..., :1]), dec[..., 4:]], axis=-1
+                )
+            return batched_nms(
+                dec, conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+                agnostic=opt.agnostic_nms, max_det=opt.max_det, class_mask=class_mask,
             )
-        return batched_nms(
-            dec, conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
-            agnostic=opt.agnostic_nms, max_det=opt.max_det, class_mask=class_mask,
+        # serving fast path: fused per-scale decode, identical results to
+        # decode+batched_nms single-label (reference detect.py is single-label)
+        raw = model.apply(p, s, xf, dtype=jnp.bfloat16, fused=True)
+        boxes, scores, cls = model.decode_parts(raw, class_mask=class_mask)
+        return nms_parts(
+            boxes, scores, cls, conf_thres=opt.conf_thres,
+            iou_thres=opt.iou_thres, agnostic=opt.agnostic_nms,
+            max_det=opt.max_det, max_nms=30000,
         )
 
     def infer(x):  # params as jit args, not baked constants

@@ -207,6 +207,69 @@ def nms_matrix(boxes, scores, iou_thres: float, max_det: int = 300,
 @partial(
     jax.jit,
     static_argnames=(
+        "conf_thres", "iou_thres", "agnostic", "max_det", "max_nms", "backend",
+    ),
+)
+def nms_parts(
+    boxes,
+    scores,
+    cls,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    agnostic: bool = False,
+    max_det: int = 300,
+    max_nms: int = 512,
+    backend: str = "matrix",
+):
+    """NMS over pre-split decode parts — the serving fast path.
+
+    Takes the output of `Detect.decode_parts` / `TDetect.decode_parts`
+    (per-scale fused xyxy boxes + best-class scores, never materialising
+    the (B, N, 5+nc) prediction tensor `batched_nms` re-reads), so the
+    whole post-forward tail is a few small HBM passes.  Numerically
+    identical to `batched_nms(..., multi_label=False)` on the same raw
+    head outputs (tested); use `batched_nms` for the multi-label eval
+    protocol.
+
+    Args:
+        boxes: (B, N, 4) xyxy pixels.
+        scores: (B, N) best-class confidence.
+        cls: (B, N) best-class index (float).
+    Returns (dets (B, max_det, 6), valid (B, max_det)).
+    """
+    cand = jnp.where(scores > conf_thres, scores, NEG_INF)
+    k = min(max_nms, cand.shape[1])
+    top_scores, top_idx = jax.lax.top_k(cand, k)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    top_cls = jnp.take_along_axis(cls, top_idx, axis=1)
+
+    offset = 0.0 if agnostic else MAX_WH
+    nms_boxes = top_boxes + (top_cls * offset)[..., None]
+    if backend == "pallas":
+        from .pallas_nms import pallas_batched_nms_core
+
+        keep_idx, keep_valid = pallas_batched_nms_core(
+            nms_boxes, top_scores, iou_thres=iou_thres, max_det=max_det
+        )
+    elif backend == "matrix":
+        keep_idx, keep_valid = nms_matrix(nms_boxes, top_scores, iou_thres, max_det)
+    else:
+        keep_idx, keep_valid = jax.vmap(
+            lambda bx, sc: nms_single(bx, sc, iou_thres, max_det)
+        )(nms_boxes, top_scores)
+
+    out_boxes = jnp.take_along_axis(top_boxes, keep_idx[..., None], axis=1)
+    out_scores = jnp.take_along_axis(top_scores, keep_idx, axis=1)
+    out_cls = jnp.take_along_axis(top_cls, keep_idx, axis=1)
+    dets = jnp.concatenate(
+        [out_boxes, out_scores[..., None], out_cls[..., None]], axis=-1
+    )
+    return jnp.where(keep_valid[..., None], dets, 0.0), keep_valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "conf_thres",
         "iou_thres",
         "multi_label",

@@ -273,6 +273,11 @@ class DetectionModel(Module):
     def decode(self, raw):
         return self.head.decode(raw)
 
+    def decode_parts(self, raw, class_mask=None):
+        """Serving fast-path decode (see heads.decode_parts); feed to
+        core.nms.nms_parts."""
+        return self.head.decode_parts(raw, class_mask)
+
     def apply_with_features(self, params, stats, x, dtype=jnp.float32,
                             fused: bool = False):
         """Forward that also returns every layer's output (host-side feature

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from collections import OrderedDict
 
-from .core.nms import batched_nms
+from .core.nms import batched_nms, nms_parts
 from .data.augment import letterbox
 from .eval.validator import _scale_to_native
 from .graph import DetectionModel
@@ -97,14 +97,22 @@ class AutoShape:
 
             @jax.jit
             def fn(p, s, x):
-                dec = model.decode(model.apply(p, s, x.astype(dtype) / 255.0,
-                                               dtype=dtype, fused=True))
+                raw = model.apply(p, s, x.astype(dtype) / 255.0,
+                                  dtype=dtype, fused=True)
+                if not self.multi_label:
+                    # serving fast path: fused per-scale decode (identical
+                    # results to decode + single-label batched_nms)
+                    boxes, scores, cls = model.decode_parts(raw)
+                    return nms_parts(boxes, scores, cls, conf_thres=self.conf,
+                                     iou_thres=self.iou, max_det=self.max_det,
+                                     max_nms=30000)
+                dec = model.decode(raw)
                 if dec.shape[-1] == model.nc + 4:
                     dec = jnp.concatenate(
                         [dec[..., :4], jnp.ones_like(dec[..., :1]), dec[..., 4:]], -1
                     )
                 return batched_nms(dec, conf_thres=self.conf, iou_thres=self.iou,
-                                   multi_label=self.multi_label, max_det=self.max_det)
+                                   multi_label=True, max_det=self.max_det)
 
             self._infer_cache[shape] = lambda x: fn(self.params, self.stats, x)
         return self._infer_cache[shape]

@@ -82,6 +82,37 @@ class Detect(Module):
             z.append(dec)
         return jnp.concatenate(z, axis=1)
 
+    def decode_parts(self, raw: Sequence[jax.Array], class_mask=None):
+        """Serving-path decode: per-scale fused sigmoid + box + best-class.
+
+        Returns (boxes_xyxy (B,N,4), scores (B,N), cls (B,N)) in reference
+        candidate order — the (B, N, 5+nc) tensor `decode` materialises
+        (and NMS then re-reads through several HBM passes) never exists.
+        Numerically identical to decode -> conf=obj*cls -> argmax/max.
+        """
+        bxs, scs, cls_ = [], [], []
+        for i, x in enumerate(raw):
+            b, ny, nx, na, no = x.shape
+            y = jax.nn.sigmoid(x.astype(jnp.float32))
+            gx = jnp.arange(nx, dtype=jnp.float32)
+            gy = jnp.arange(ny, dtype=jnp.float32)
+            grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)
+            anchor_px = jnp.asarray(self.anchors[i] * self.stride[i])
+            xy = (y[..., 0:2] * 2 - 0.5 + grid[None, :, :, None, :]) * self.stride[i]
+            wh = (y[..., 2:4] * 2) ** 2 * anchor_px[None, None, None, :, :]
+            half = wh * 0.5
+            box = jnp.concatenate([xy - half, xy + half], axis=-1)
+            conf = y[..., 4:5] * y[..., 5:]
+            if class_mask is not None:
+                conf = jnp.where(class_mask[None, None, None, None, :], conf, 0.0)
+            best = jnp.max(conf, axis=-1)
+            bc = jnp.argmax(conf, axis=-1).astype(jnp.float32)
+            bxs.append(box.transpose(0, 3, 1, 2, 4).reshape(b, na * ny * nx, 4))
+            scs.append(best.transpose(0, 3, 1, 2).reshape(b, na * ny * nx))
+            cls_.append(bc.transpose(0, 3, 1, 2).reshape(b, na * ny * nx))
+        return (jnp.concatenate(bxs, 1), jnp.concatenate(scs, 1),
+                jnp.concatenate(cls_, 1))
+
 
 def dfl_expectation(box_logits: jax.Array, reg_max: int = 16) -> jax.Array:
     """Distribution-focal decode: softmax expectation over reg_max bins.
@@ -184,3 +215,19 @@ class TDetect(Module):
         dist = dfl_expectation(box_logits.reshape(b, a, 4, self.reg_max))
         dbox = dist2bbox(dist, anchor_points[None], xywh=True) * strides[None]
         return jnp.concatenate([dbox, jax.nn.sigmoid(cls_logits.astype(jnp.float32))], axis=-1)
+
+    def decode_parts(self, raw: Sequence[jax.Array], class_mask=None):
+        """Serving-path decode (cf. Detect.decode_parts): fused DFL box +
+        best-class score, xyxy pixels.  TDetect confidence is the class
+        probability alone (no objectness), matching decode+obj=1 NMS."""
+        shapes = [(x.shape[1], x.shape[2]) for x in raw]
+        anchor_points, strides = make_anchor_points(shapes, self.stride)
+        box_logits, cls_logits = self.flatten(raw)
+        b, a, _ = box_logits.shape
+        dist = dfl_expectation(box_logits.reshape(b, a, 4, self.reg_max))
+        boxes = dist2bbox(dist, anchor_points[None], xywh=False) * strides[None]
+        conf = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+        if class_mask is not None:
+            conf = jnp.where(class_mask[None, None, :], conf, 0.0)
+        return (boxes, jnp.max(conf, axis=-1),
+                jnp.argmax(conf, axis=-1).astype(jnp.float32))
