@@ -118,11 +118,24 @@ def main(argv=None):
         pred_json = write_coco_json(jdict, out / f"{w}_predictions.json")
         print(f"saved {len(jdict)} COCO prediction entries -> {pred_json}")
         anno_json = Path(data.get("path", "../coco")) / "annotations/instances_val2017.json"
-        coco_res = evaluate_coco(pred_json, anno_json) if anno_json.exists() else None
+        if not anno_json.exists():
+            # no official annotations: build COCO GT from the YOLO labels so
+            # the protocol runs on any dataset (native evaluator handles the
+            # missing-pycocotools case)
+            import json as _json
+
+            from ..eval.coco_json import build_coco_gt_from_yolo
+
+            gt = build_coco_gt_from_yolo(
+                data["val"], nc=int(data["nc"]), names=data.get("names"))
+            anno_json = out / "coco_gt.json"
+            with open(anno_json, "w") as f:
+                _json.dump(gt, f)
+            print(f"built COCO GT from YOLO labels -> {anno_json} "
+                  f"({len(gt['annotations'])} annotations)")
+        coco_res = evaluate_coco(pred_json, anno_json)
         if coco_res is not None:
             print(f"COCOeval: mAP@.5:.95={coco_res[0]:.4f} mAP@.5={coco_res[1]:.4f}")
-        elif not anno_json.exists():
-            print(f"COCOeval skipped: annotations not found at {anno_json}")
     print(res.summary())
     print("speed:", {k: f"{v:.2f}ms" for k, v in res.speed_ms.items()})
     if res.maps is not None:

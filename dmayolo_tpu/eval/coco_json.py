@@ -57,6 +57,47 @@ def write_coco_json(jdict: List[dict], path) -> Path:
     return path
 
 
+def build_coco_gt_from_yolo(val_path, nc: int, names=None) -> Dict:
+    """COCO-format GT dict from a YOLO-layout dataset (images + labels txt).
+
+    Lets the COCO protocol run on ANY dataset (VisDrone, UAVDT, custom) —
+    the reference can only COCOeval when official annotation json exists.
+    image_id / category_id conventions match `append_coco_json` (int-when-
+    numeric stems; identity class map for non-COCO data).
+    """
+    from ..data.datasets import _scan_images, img2label_paths, verify_image_label
+
+    im_files = _scan_images(val_path)
+    lb_files = img2label_paths(im_files)
+    images, annotations = [], []
+    ann_id = 1
+    cats = set()
+    for f, lf in zip(im_files, lb_files):
+        ok, _ = verify_image_label(f, lf, nc)
+        if ok is None:
+            continue
+        _, lb, (h, w), _ = ok
+        stem = Path(f).stem
+        iid = int(stem) if stem.isnumeric() else stem
+        images.append({"id": iid, "file_name": Path(f).name,
+                       "height": int(h), "width": int(w)})
+        for cls, cx, cy, bw, bh in np.asarray(lb, np.float64):
+            x1, y1 = (cx - bw / 2) * w, (cy - bh / 2) * h
+            annotations.append({
+                "id": ann_id, "image_id": iid, "category_id": int(cls),
+                "bbox": [x1, y1, bw * w, bh * h], "area": bw * w * bh * h,
+                "iscrowd": 0,
+            })
+            ann_id += 1
+            cats.add(int(cls))
+    categories = [
+        {"id": c, "name": (names[c] if names and c < len(names) else str(c))}
+        for c in sorted(cats)
+    ]
+    return {"images": images, "annotations": annotations,
+            "categories": categories}
+
+
 def evaluate_coco(pred_json, anno_json, img_ids: Optional[List[int]] = None):
     """Run pycocotools COCOeval (bbox) when the package is importable.
 
@@ -66,10 +107,13 @@ def evaluate_coco(pred_json, anno_json, img_ids: Optional[List[int]] = None):
     try:
         from pycocotools.coco import COCO
         from pycocotools.cocoeval import COCOeval
-    except ImportError as e:
-        print(f"pycocotools unable to run: {e} — predictions saved to "
-              f"{pred_json}; run COCOeval offline.")
-        return None
+    except ImportError:
+        # fall back to the native numpy COCOeval — same protocol, same
+        # 12-stat summary, no dependency (eval/cocoeval.py)
+        from .cocoeval import evaluate_coco_native
+
+        print("pycocotools not installed — using the native COCO evaluator")
+        return evaluate_coco_native(pred_json, anno_json, img_ids=img_ids)
     try:
         anno = COCO(str(anno_json))
         pred = anno.loadRes(str(pred_json))
