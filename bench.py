@@ -116,6 +116,14 @@ def main():
         dt_s = timed(serve_fn(m2), (fp2, fs2, img_u8(bs)))
         extra[f"{cfg}_bs{bs}_img_s"] = round(bs / dt_s, 1)
 
+    # --- yolov5x: the reference's one published speed number (tutorial.ipynb:
+    # 4.9 ms/img inference, V100 fp16 batch-32 = 204 img/s) ---
+    m5x, fp5x, fs5x = build("yolov5x")
+    dt_x = timed(serve_fn(m5x), (fp5x, fs5x, img_u8(32)))
+    extra["yolov5x_bs32_img_s"] = round(32 / dt_x, 1)
+    extra["yolov5x_bs32_ms_per_img"] = round(dt_x / 32 * 1000, 2)
+    extra["yolov5x_ref_v100_ms_per_img"] = 4.9
+
     # --- flagship train-step throughput (fwd+loss+grad+opt+EMA, bs16) ---
     try:
         from dmayolo_tpu.train.loss import ComputeLoss, Targets
