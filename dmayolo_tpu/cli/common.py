@@ -31,6 +31,19 @@ def resolve_config(name, kind: str):
     raise FileNotFoundError(f"config {name!r} not found (looked in {cand.parent})")
 
 
+def check_img_size(imgsz: int, s: int = 32, floor: int = 0) -> int:
+    """Round imgsz up to a multiple of the model's max stride, warning on
+    change — static-shape XLA REQUIRES this (odd sizes desync the pyramid
+    concats).  ref: utils/general.py:290-296 (val.py:147, detect.py:92)."""
+    import math
+
+    new = max(math.ceil(imgsz / s) * s, floor)
+    if new != imgsz:
+        print(f"WARNING: --img-size {imgsz} must be a multiple of max "
+              f"stride {s}, updating to {new}")
+    return new
+
+
 def load_hyp(name) -> dict:
     with open(resolve_config(name, "hyp"), errors="ignore") as f:
         return yaml.safe_load(f)

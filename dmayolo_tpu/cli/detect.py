@@ -59,7 +59,7 @@ def _gather_sources(source: Path):
 
 def main(argv=None):
     opt = build_parser().parse_args(argv)
-    from .common import setup_device
+    from .common import check_img_size, setup_device
 
     setup_device(opt.device)
     import cv2
@@ -75,6 +75,7 @@ def main(argv=None):
     from .common import increment_path, load_model_from_checkpoint
 
     model, params, stats = load_model_from_checkpoint(opt.weights, opt.cfg)
+    opt.imgsz = check_img_size(opt.imgsz, int(model.stride.max()))
     params, stats = fuse_params(model, params, stats)
     names = [str(i) for i in range(model.nc)]
     if opt.names:

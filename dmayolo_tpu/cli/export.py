@@ -53,7 +53,7 @@ def export_torch_state_dict(model, params, stats, path: Path):
 
 def main(argv=None):
     opt = build_parser().parse_args(argv)
-    from .common import setup_device
+    from .common import check_img_size, setup_device
 
     setup_device(opt.device)
     import jax
@@ -64,6 +64,7 @@ def main(argv=None):
     from .common import load_model_from_checkpoint
 
     model, params, stats = load_model_from_checkpoint(opt.weights, opt.cfg)
+    opt.imgsz = check_img_size(opt.imgsz, int(model.stride.max()))
     from ..utils.checkpoint import load_checkpoint as _lc
 
     _, src_meta = _lc(opt.weights)

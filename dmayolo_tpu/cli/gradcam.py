@@ -58,7 +58,7 @@ def _jet(cam: np.ndarray) -> np.ndarray:
 
 def main(argv=None):
     opt = build_parser().parse_args(argv)
-    from .common import setup_device
+    from .common import check_img_size, setup_device
 
     setup_device(opt.device)
     import cv2
@@ -71,6 +71,7 @@ def main(argv=None):
     from .common import load_model_from_checkpoint
 
     model, params, stats = load_model_from_checkpoint(opt.model_path, opt.cfg)
+    opt.img_size = check_img_size(opt.img_size, int(model.stride.max()))
     layer_i = resolve_target_layer(model, opt.target_layer)
     names = [str(i) for i in range(model.nc)]
     if opt.names:

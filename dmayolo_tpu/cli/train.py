@@ -61,15 +61,56 @@ def build_parser():
     return p
 
 
+def get_latest_run(search_dir: str = "runs/train"):
+    """Most recent last.npz under search_dir.  ref: general.py:128-131."""
+    from pathlib import Path
+
+    runs = sorted(Path(search_dir).rglob("last.npz"),
+                  key=lambda p: p.stat().st_mtime)
+    return runs[-1] if runs else None
+
+
 def main(argv=None):
     opt = build_parser().parse_args(argv)
     from .common import setup_device
 
     setup_device(opt.device)
+    import yaml as _yaml
+    from pathlib import Path
+
     from ..train.trainer import Trainer
 
-    out = increment_path(f"{opt.project}/{opt.name}", exist_ok=opt.exist_ok)
-    hyp = load_hyp(opt.hyp)
+    if opt.resume:
+        # restore the interrupted run's own options + dir (ref train.py:657-669)
+        last = (get_latest_run(opt.project) if opt.resume == "auto"
+                else Path(opt.resume))
+        assert last is not None and last.exists(), \
+            f"--resume: no checkpoint found ({opt.resume})"
+        out = last.parent
+        opt_file = out / "opt.yaml"
+        if opt_file.exists():
+            with open(opt_file, errors="ignore") as f:
+                saved = _yaml.safe_load(f)
+            keep = {"resume", "device"}  # current invocation wins for these
+            for k, v in saved.items():
+                if k not in keep and hasattr(opt, k):
+                    setattr(opt, k, v)
+        opt.resume = str(last)
+        hyp_file = out / "hyp.yaml"
+        hyp = (load_hyp(str(hyp_file)) if hyp_file.exists()
+               else load_hyp(opt.hyp))
+        print(f"resuming {last} (options restored from {opt_file})")
+    else:
+        out = increment_path(f"{opt.project}/{opt.name}", exist_ok=opt.exist_ok)
+        hyp = load_hyp(opt.hyp)
+        # persist run config for resume/audit (ref train.py:92-99)
+        out.mkdir(parents=True, exist_ok=True)
+        with open(out / "hyp.yaml", "w") as f:
+            _yaml.safe_dump(dict(hyp), f, sort_keys=False)
+        with open(out / "opt.yaml", "w") as f:
+            _yaml.safe_dump(
+                {k: v for k, v in vars(opt).items() if k != "device"}, f,
+                sort_keys=False)
 
     if opt.batch_size == -1:  # HBM-aware batch search (ref utils/autobatch.py:47)
         import jax

@@ -53,9 +53,10 @@ def main(argv=None):
     from ..data.datasets import check_dataset
     from ..eval.validator import run_validation
     from ..nn.fuse import fuse_params
-    from .common import increment_path, load_model_from_checkpoint
+    from .common import check_img_size, increment_path, load_model_from_checkpoint
 
     model, params, stats = load_model_from_checkpoint(opt.weights, opt.cfg)
+    opt.imgsz = check_img_size(opt.imgsz, int(model.stride.max()))
     fused = not opt.no_fuse
     if fused:
         params, stats = fuse_params(model, params, stats)

@@ -117,6 +117,10 @@ class Trainer:
         # anchor count for autoanchor re-clustering, ref train.py:150
         self.model = DetectionModel(cfg, nc=nc, anchors=self.hyp.get("anchors"))
         self.nc = nc
+        gs = int(self.model.stride.max())
+        from ..cli.common import check_img_size
+
+        img_size = self.img_size = check_img_size(img_size, gs, floor=gs * 2)
 
         # mesh: default all local devices on the data axis
         self.mesh = mesh if mesh is not None else make_mesh()
