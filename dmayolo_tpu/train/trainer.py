@@ -292,16 +292,24 @@ class Trainer:
                 meta=meta,
             )
             return
-        save_checkpoint(
-            self.out / name,
-            params=jax.device_get(s.params),
-            stats=jax.device_get(s.stats),
-            ema_params=jax.device_get(s.ema_params),
-            ema_stats=jax.device_get(s.ema_stats),
-            opt_mom=jax.device_get(s.opt.mom),
-            opt_vel=jax.device_get(s.opt.vel),
-            meta=meta,
-        )
+        # one device->host pull per optimizer step, shared by the epoch's
+        # best+last saves (the pull, not the disk write, dominates on
+        # tunneled TPU); model/EMA stored f16 like the reference
+        step = int(s.opt.step)
+        cached = getattr(self, "_pull_cache", None)
+        if cached is None or cached[0] != step:
+            trees = {
+                "params": jax.device_get(s.params),
+                "stats": jax.device_get(s.stats),
+                "ema_params": jax.device_get(s.ema_params),
+                "ema_stats": jax.device_get(s.ema_stats),
+                "opt_mom": jax.device_get(s.opt.mom),
+                "opt_vel": jax.device_get(s.opt.vel),
+            }
+            self._pull_cache = (step, trees)
+        else:
+            trees = cached[1]
+        save_checkpoint(self.out / name, meta=meta, half=True, **trees)
 
     def _log_csv(self, row: Dict):
         step = row.pop("epoch")
