@@ -87,6 +87,7 @@ def main(argv=None):
     out_dir = Path(opt.output_dir) / f"layer_{layer_i}_{opt.method}"
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    cache: dict = {}  # shared: the compiled grad fn serves all images
     for path in paths:
         im0 = cv2.imread(str(path))
         if im0 is None:
@@ -98,6 +99,10 @@ def main(argv=None):
         t0 = time.time()
         raw = model.apply(params, stats, x)
         dec = model.decode(raw)
+        if dec.shape[-1] == model.nc + 4:  # TDetect: obj=1 column (cf. detect.py)
+            dec = jnp.concatenate(
+                [dec[..., :4], jnp.ones_like(dec[..., :1]), dec[..., 4:]], axis=-1
+            )
         dets, valid, srcs = batched_nms(
             dec, conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
             max_det=min(300, max(1, opt.max_dets)), return_src=True,
@@ -106,7 +111,6 @@ def main(argv=None):
         n = int(valid[0].sum())
 
         res = img.astype(np.float32) / 255.0
-        cache: dict = {}
         for j in range(min(n, opt.max_dets)):
             cand, cls = int(srcs[0, j]), int(dets[0, j, 5])
             cam = cam_for_detection(

@@ -127,8 +127,11 @@ def main(argv=None):
 
             from ..eval.coco_json import build_coco_gt_from_yolo
 
+            # same split the predictions came from (--task test != val), and
+            # the same category-id map the prediction writer used
             gt = build_coco_gt_from_yolo(
-                data["val"], nc=int(data["nc"]), names=data.get("names"))
+                split, nc=int(data["nc"]), names=data.get("names"),
+                class_map=class_map)
             anno_json = out / "coco_gt.json"
             with open(anno_json, "w") as f:
                 _json.dump(gt, f)

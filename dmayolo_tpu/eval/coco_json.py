@@ -57,42 +57,44 @@ def write_coco_json(jdict: List[dict], path) -> Path:
     return path
 
 
-def build_coco_gt_from_yolo(val_path, nc: int, names=None) -> Dict:
+def build_coco_gt_from_yolo(val_path, nc: int, names=None,
+                            class_map: Optional[Sequence[int]] = None) -> Dict:
     """COCO-format GT dict from a YOLO-layout dataset (images + labels txt).
 
     Lets the COCO protocol run on ANY dataset (VisDrone, UAVDT, custom) —
     the reference can only COCOeval when official annotation json exists.
-    image_id / category_id conventions match `append_coco_json` (int-when-
-    numeric stems; identity class map for non-COCO data).
-    """
-    from ..data.datasets import _scan_images, img2label_paths, verify_image_label
+    image_id conventions match `append_coco_json` (int-when-numeric stems);
+    `class_map` must be the SAME map the prediction writer used (COCO-91
+    for real COCO data, identity otherwise) or no category ever matches.
 
-    im_files = _scan_images(val_path)
-    lb_files = img2label_paths(im_files)
+    Reuses the dataset's hash-validated label cache (shapes + labels) —
+    images are not decoded again.
+    """
+    from ..data.datasets import DetectionDataset
+
+    ds = DetectionDataset(val_path, img_size=640, augment=False, rect=False)
+    cmap = list(class_map) if class_map is not None else list(range(nc))
     images, annotations = [], []
     ann_id = 1
     cats = set()
-    for f, lf in zip(im_files, lb_files):
-        ok, _ = verify_image_label(f, lf, nc)
-        if ok is None:
-            continue
-        _, lb, (h, w), _ = ok
+    for f, lb, (h, w) in zip(ds.im_files, ds.labels, ds.shapes):
         stem = Path(f).stem
         iid = int(stem) if stem.isnumeric() else stem
         images.append({"id": iid, "file_name": Path(f).name,
                        "height": int(h), "width": int(w)})
-        for cls, cx, cy, bw, bh in np.asarray(lb, np.float64):
+        for cls, cx, cy, bw, bh in np.asarray(lb, np.float64).reshape(-1, 5):
             x1, y1 = (cx - bw / 2) * w, (cy - bh / 2) * h
+            cat = cmap[int(cls)]
             annotations.append({
-                "id": ann_id, "image_id": iid, "category_id": int(cls),
+                "id": ann_id, "image_id": iid, "category_id": cat,
                 "bbox": [x1, y1, bw * w, bh * h], "area": bw * w * bh * h,
                 "iscrowd": 0,
             })
             ann_id += 1
-            cats.add(int(cls))
+            cats.add((int(cls), cat))
     categories = [
-        {"id": c, "name": (names[c] if names and c < len(names) else str(c))}
-        for c in sorted(cats)
+        {"id": cat, "name": (names[c] if names and c < len(names) else str(c))}
+        for c, cat in sorted(cats)
     ]
     return {"images": images, "annotations": annotations,
             "categories": categories}

@@ -77,11 +77,27 @@ class NpCOCOeval:
         self._eval = None
 
     # -- per-image matching -------------------------------------------------
-    def _evaluate_img(self, img_id, cat_id, area, max_det):
+    def _prepare_img(self, img_id, cat_id, max_det):
+        """Score-sort + cap dets and compute the IoU matrix ONCE per
+        (img, cat); every area range shares it (pycocotools computeIoU)."""
         gts = self._gts[(img_id, cat_id)]
         dts = self._dts[(img_id, cat_id)]
         if not gts and not dts:
             return None
+        scores = np.array([d["score"] for d in dts], float)
+        order_d = np.argsort(-scores, kind="stable")[:max_det]
+        dts = [dts[i] for i in order_d]
+        crowd_raw = np.array([bool(g["iscrowd"]) for g in gts], bool)
+        ious_raw = _box_iou_xywh(
+            np.array([d["bbox"] for d in dts], float).reshape(-1, 4),
+            np.array([g["bbox"] for g in gts], float).reshape(-1, 4),
+            crowd_raw,
+        )
+        return dts, gts, ious_raw
+
+    def _evaluate_area(self, prepared, area):
+        """Greedy matching for one area range, reusing the prepared IoU."""
+        dts, gts, ious_raw = prepared
         g_ign = np.array([
             bool(g["ignore"]) or bool(g["iscrowd"])
             or not (area[0] <= g["area"] <= area[1])
@@ -91,16 +107,7 @@ class NpCOCOeval:
         gts = [gts[i] for i in order_g]
         g_ign = g_ign[order_g]
         crowd = np.array([bool(g["iscrowd"]) for g in gts], bool)
-
-        scores = np.array([d["score"] for d in dts], float)
-        order_d = np.argsort(-scores, kind="stable")[:max_det]
-        dts = [dts[i] for i in order_d]
-
-        ious = _box_iou_xywh(
-            np.array([d["bbox"] for d in dts], float).reshape(-1, 4),
-            np.array([g["bbox"] for g in gts], float).reshape(-1, 4),
-            crowd,
-        )
+        ious = ious_raw[:, order_g] if len(gts) else ious_raw
 
         T, D, G = len(self.iou_thrs), len(dts), len(gts)
         dtm = np.zeros((T, D), np.int64)
@@ -138,25 +145,35 @@ class NpCOCOeval:
     def evaluate(self):
         T, R = len(self.iou_thrs), len(self.rec_thrs)
         K, A, M = len(self.cat_ids), len(self.area_rng), len(self.max_dets)
+        md_cap = max(self.max_dets)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
         for k, cat in enumerate(self.cat_ids):
-            for a, rng in enumerate(self.area_rng):
+            # match once per (img, area) at maxDets=100; smaller maxDets are
+            # per-image column truncations in accumulation (pycocotools'
+            # evaluateImg/accumulate split)
+            per_img = []
+            for img in self.img_ids:
+                prepared = self._prepare_img(img, cat, md_cap)
+                if prepared is None:
+                    continue
+                per_img.append([
+                    self._evaluate_area(prepared, rng) for rng in self.area_rng
+                ])
+            for a in range(A):
+                evs = [p[a] for p in per_img]
+                if not evs:
+                    continue
+                npig = sum(e["n_gt"] for e in evs)
+                if npig == 0:
+                    continue
                 for m, md in enumerate(self.max_dets):
-                    evs = [
-                        self._evaluate_img(img, cat, rng, md)
-                        for img in self.img_ids
-                    ]
-                    evs = [e for e in evs if e is not None]
-                    if not evs:
-                        continue
-                    scores = np.concatenate([e["scores"] for e in evs])
+                    scores = np.concatenate([e["scores"][:md] for e in evs])
                     order = np.argsort(-scores, kind="mergesort")
-                    dtm = np.concatenate([e["dtm"] for e in evs], 1)[:, order]
-                    ign = np.concatenate([e["dt_ign"] for e in evs], 1)[:, order]
-                    npig = sum(e["n_gt"] for e in evs)
-                    if npig == 0:
-                        continue
+                    dtm = np.concatenate(
+                        [e["dtm"][:, :md] for e in evs], 1)[:, order]
+                    ign = np.concatenate(
+                        [e["dt_ign"][:, :md] for e in evs], 1)[:, order]
                     tps = np.cumsum((dtm != 0) & ~ign, axis=1, dtype=float)
                     fps = np.cumsum((dtm == 0) & ~ign, axis=1, dtype=float)
                     for t in range(T):

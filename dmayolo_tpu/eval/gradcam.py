@@ -67,6 +67,16 @@ def tail_forward(model, params, stats, feat, saved: Dict[int, jax.Array],
     return out
 
 
+def detection_score(model, dec, cand, cls):
+    """NMS-confidence of one decoded candidate: obj*cls for Detect
+    (5+nc decode rows); class prob alone for TDetect's (4+nc) rows —
+    obj is implicitly 1 there (cf. detect.py's obj=1 column insert)."""
+    det = dec[0, cand]
+    if dec.shape[-1] == model.nc + 4:
+        return jnp.take(det, 4 + cls)
+    return det[4] * jnp.take(det, 5 + cls)
+
+
 def cam_for_detection(model, params, stats, x, layer_i: int, cand_idx: int,
                       cls_idx: int, method: str = "gradcam",
                       fused: bool = False,
@@ -78,26 +88,28 @@ def cam_for_detection(model, params, stats, x, layer_i: int, cand_idx: int,
         cand_idx: flat candidate index of the detection in decode order.
         cls_idx: its class id (score = obj * cls like the NMS confidence).
     """
-    if _cache is not None and "feat" in _cache:
-        feat, saved, grad_fn = _cache["feat"], _cache["saved"], _cache["grad_fn"]
-    else:
+    _cache = _cache if _cache is not None else {}
+    # feat/saved are per-input; the compiled grad fn is shared across every
+    # detection AND every same-shaped image (params/stats are jit ARGUMENTS,
+    # not closure constants — constants bake MBs into the executable)
+    if _cache.get("x_id") != (id(x), layer_i):
         feat, saved = split_forward(model, params, stats, x, layer_i, fused)
         saved = {k: jax.lax.stop_gradient(v) for k, v in saved.items()}
+        _cache["x_id"] = (id(x), layer_i)
+        _cache["feat"], _cache["saved"] = feat, saved
+    feat, saved = _cache["feat"], _cache["saved"]
 
-        def score_fn(f, sv, cand, cls):
-            dec = model.decode(
-                tail_forward(model, params, stats, f, sv, layer_i, fused)
-            )
-            det = dec[0, cand]
-            return det[4] * jnp.take(det, 5 + cls)
+    if "grad_fn" not in _cache:
 
-        # one compile serves every detection: indices are traced arguments
-        grad_fn = jax.jit(jax.grad(score_fn))
-        if _cache is not None:
-            _cache["feat"], _cache["saved"] = feat, saved
-            _cache["grad_fn"] = grad_fn
+        def score_fn(p, s, f, sv, cand, cls):
+            dec = model.decode(tail_forward(model, p, s, f, sv, layer_i, fused))
+            return detection_score(model, dec, cand, cls)
 
-    grads = grad_fn(feat, saved, jnp.int32(cand_idx), jnp.int32(cls_idx))
+        _cache["grad_fn"] = jax.jit(jax.grad(score_fn, argnums=2))
+    grad_fn = _cache["grad_fn"]
+
+    grads = grad_fn(params, stats, feat, saved,
+                    jnp.int32(cand_idx), jnp.int32(cls_idx))
     a = np.asarray(feat[0], np.float32)
     g = np.asarray(grads[0], np.float32)
 

@@ -425,6 +425,7 @@ class Trainer:
                     self._save("last", epoch)
                     break
             self._save("last", epoch)
+            self._pull_cache = None  # host copy only needed for this epoch's saves
             self.callbacks.run("on_model_save")
             row["time_s"] = time.time() - t0
             self._log_csv(row)
@@ -432,7 +433,12 @@ class Trainer:
 
         if self._async_ckptr is not None:  # drain the in-flight orbax write
             self._async_ckptr.close()
-        strip_checkpoint(self.out / "best") if (self.out / "best.npz").exists() else None
+        # strip BOTH like the reference (train.py:553-557): a stripped last
+        # is the "finished" marker tools/resume_all.py keys on — otherwise an
+        # early-stopped run would be re-resumed forever
+        for name in ("last", "best"):
+            if (self.out / f"{name}.npz").exists():
+                strip_checkpoint(self.out / name)
         self.loggers.finalize()
         self.callbacks.run("on_train_end")
         print(f"training done in {(time.time()-t_start)/3600:.2f}h; best fitness {self.best_fitness:.4f}")

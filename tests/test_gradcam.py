@@ -136,6 +136,43 @@ def test_cam_localises_responsive_cell(setup):
     assert d_peak >= d_far, (d_peak, d_far)
 
 
+def test_cam_tdetect_anchor_free():
+    """TDetect decode is (4+nc) class-prob-only; the CAM score must use
+    det[4+cls] (obj implicitly 1), not the Detect layout."""
+    cfg = dict(CFG)
+    cfg["head"] = [
+        [-1, 1, "Conv", [128, 1, 1]],
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 2], 1, "Concat", [1]],
+        [-1, 1, "C3", [128, "False"]],
+        [[9, 5], 1, "TDetect", ["nc"]],
+    ]
+    model = DetectionModel(cfg)
+    params, stats = model.init_with_priors(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
+
+    dec = model.decode(model.apply(params, stats, x))
+    dec_n = np.asarray(dec)
+    assert dec_n.shape[-1] == model.nc + 4
+    n_scale0 = 32 * 32  # one anchor point per cell, scale 0 first
+    conf = dec_n[0, :n_scale0, 4:].max(-1)
+    cand = int(conf.argmax())
+    cls = int(dec_n[0, cand, 4:].argmax())
+
+    # the CAM target score must be the class prob itself — NOT the Detect
+    # (5+nc) layout applied to a (4+nc) row
+    from dmayolo_tpu.eval.gradcam import detection_score
+
+    s = float(detection_score(model, dec, jnp.int32(cand), jnp.int32(cls)))
+    assert s == pytest.approx(float(dec_n[0, cand, 4 + cls]), rel=1e-6)
+
+    cam = cam_for_detection(model, params, stats, x, layer_i=9,
+                            cand_idx=cand, cls_idx=cls)
+    assert cam.shape == (32, 32)
+    assert np.isfinite(cam).all()
+
+
 def test_resolve_target_layer(setup):
     model = setup[0]
     assert resolve_target_layer(model, "model_9_cv3_act") == 9

@@ -69,27 +69,47 @@ def test_find_interrupted_and_resume(run_dir):
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     import resume_all
 
-    # finished run (epoch 1+1 >= 2): not interrupted
+    # finished run: last.npz is STRIPPED at train end (reference
+    # train.py:553-557), so it never reads as interrupted
+    from dmayolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    trees, meta = load_checkpoint(out / "last.npz")
+    assert "opt_mom" not in trees, "finished last.npz must be stripped"
     assert list(resume_all.find_interrupted(tmp / "runs")) == []
 
-    # raise the target epochs -> run now reads as interrupted
-    opt = yaml.safe_load((out / "opt.yaml").read_text())
-    opt["epochs"] = 3
-    (out / "opt.yaml").write_text(yaml.safe_dump(opt))
-    found = list(resume_all.find_interrupted(tmp / "runs"))
-    assert len(found) == 1 and found[0][0] == out / "last.npz"
+    # construct a genuinely interrupted run: optimizer state present and
+    # epoch short of the opt.yaml target (as if the process was killed)
+    out2 = tmp / "runs" / "r2"
+    out2.mkdir(parents=True, exist_ok=True)
+    import numpy as np
 
-    # --resume <ckpt> restores saved options (epochs=3) and continues in place
+    save_checkpoint(
+        out2 / "last", params=trees["params"], stats=trees["stats"],
+        ema_params=trees["params"], ema_stats=trees["stats"],
+        opt_mom={k: np.zeros_like(np.asarray(v, np.float32))
+                 for k, v in trees["params"].items()},
+        opt_vel={k: np.zeros_like(np.asarray(v, np.float32))
+                 for k, v in trees["params"].items()},
+        meta={"epoch": 0, "step": 1, "updates": 1, "best_fitness": 0.0,
+              "nc": 4, "cfg": meta.get("cfg", CFG)},
+    )
+    opt = yaml.safe_load((out / "opt.yaml").read_text())
+    opt["epochs"] = 2
+    (out2 / "opt.yaml").write_text(yaml.safe_dump(opt))
+    (out2 / "hyp.yaml").write_text((out / "hyp.yaml").read_text())
+    found = list(resume_all.find_interrupted(tmp / "runs"))
+    assert len(found) == 1 and found[0][0] == out2 / "last.npz"
+
+    # --resume <ckpt> restores saved options (epochs=2) and continues in place
     from dmayolo_tpu.cli.train import main
-    from dmayolo_tpu.utils.checkpoint import load_checkpoint
 
     main(["--cfg", str(cfg_path), "--data", str(data_yaml),
-          "--resume", str(out / "last.npz"),
+          "--resume", str(out2 / "last.npz"),
           # wrong values on purpose: opt.yaml must win
           "--epochs", "99", "--imgsz", "64"])
-    trees, meta = load_checkpoint(out / "last.npz")
-    assert meta["epoch"] == 2  # trained the third epoch (0-indexed)
-    # and the run is no longer interrupted
+    trees2, meta2 = load_checkpoint(out2 / "last.npz")
+    assert meta2["epoch"] == 1  # finished the target's second epoch
+    # completed -> stripped -> no longer interrupted
     assert list(resume_all.find_interrupted(tmp / "runs")) == []
 
 
@@ -97,4 +117,8 @@ def test_resume_auto_finds_latest(run_dir, capsys):
     out, _, _, tmp = run_dir
     from dmayolo_tpu.cli.train import get_latest_run
 
-    assert get_latest_run(str(tmp / "runs")) == out / "last.npz"
+    # most-recent last.npz in the tree (r2 may exist from the resume test)
+    found = get_latest_run(str(tmp / "runs"))
+    expected = max((tmp / "runs").rglob("last.npz"),
+                   key=lambda p: p.stat().st_mtime)
+    assert found == expected and found.name == "last.npz"
