@@ -54,7 +54,21 @@ def build_parser():
                    help="evolve hyperparameters for N generations")
     p.add_argument("--multi-scale", action="store_true", help="bucketed random train sizes")
     p.add_argument("--single-cls", action="store_true", help="train as single-class")
-    p.add_argument("--cache", action="store_true", help="cache images in RAM")
+    p.add_argument("--cache", type=str, nargs="?", const="ram", default=None,
+                   choices=["ram", "disk"], help="cache images in ram or on disk")
+    p.add_argument("--rect", action="store_true", help="rectangular training")
+    p.add_argument("--quad", action="store_true", help="quad dataloader (collate_fn4)")
+    p.add_argument("--nosave", action="store_true", help="only save final checkpoint")
+    p.add_argument("--noval", action="store_true", help="only validate final epoch")
+    p.add_argument("--label-smoothing", type=float, default=0.0,
+                   help="label smoothing epsilon (overrides hyp)")
+    p.add_argument("--freeze", type=int, default=0,
+                   help="freeze first N layers (backbone=10, all=24)")
+    p.add_argument("--save-period", type=int, default=-1,
+                   help="save epoch{N}.npz every N epochs (<1 disables)")
+    p.add_argument("--sync-bn", action="store_true",
+                   help="accepted for parity; BN is ALWAYS cross-replica here "
+                        "(global-batch moments under pjit)")
     p.add_argument("--image-weights", action="store_true", help="class-mAP weighted image sampling")
     p.add_argument("--accumulate", type=int, default=0,
                    help="grad-accumulation factor (0 = auto round(64/bs), ref train.py:189)")
@@ -159,6 +173,9 @@ def _make_trainer(opt, hyp, out_dir):
 
     from ..train.trainer import Trainer
 
+    hyp = dict(hyp)
+    if getattr(opt, "label_smoothing", 0.0):
+        hyp["label_smoothing"] = opt.label_smoothing  # ref train.py:333
     return Trainer(
         resolve_config(opt.cfg, "models"),
         opt.data,
@@ -188,6 +205,12 @@ def _make_trainer(opt, hyp, out_dir):
         ckpt_async=opt.ckpt_async,
         device_aug=opt.device_aug,
         fastload=opt.fastload,
+        rect=getattr(opt, "rect", False),
+        quad=getattr(opt, "quad", False),
+        nosave=getattr(opt, "nosave", False),
+        noval=getattr(opt, "noval", False),
+        freeze=getattr(opt, "freeze", 0),
+        save_period=getattr(opt, "save_period", -1),
     )
 
 

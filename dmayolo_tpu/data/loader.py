@@ -53,7 +53,8 @@ class DataLoader:
     def __init__(self, dataset: DetectionDataset, batch_size: int,
                  max_targets: int = 128, shuffle: bool = True,
                  workers: int = 4, seed: int = 0, drop_last: bool = True,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 quad: bool = False):
         """process_index/process_count: multi-host input sharding — this
         host reads only its rank::world stripe of the dataset and yields
         the LOCAL slice (global_batch/process_count rows) of every batch;
@@ -66,11 +67,13 @@ class DataLoader:
         self.shuffle = shuffle
         self.workers = max(1, workers)
         self.rng = np.random.default_rng(seed)
+        self._seed = seed
         self.drop_last = drop_last
         assert batch_size % process_count == 0, (batch_size, process_count)
         self.process_index = process_index
         self.process_count = process_count
         self.local_bs = batch_size // process_count
+        self.quad = quad  # reference --quad: collate_fn4 (datasets.py:632-655)
 
     def __len__(self):
         n = len(self.ds)
@@ -117,7 +120,14 @@ class DataLoader:
                     return
                 try:
                     samples = [self.ds[i] for i in idxs]
-                    out.put((j, collate(samples, self.max_targets, idxs)))
+                    if self.quad:
+                        # per-batch rng derived from (seed, j) only — the
+                        # shared self.rng must not be touched from workers
+                        rng = np.random.default_rng((self._seed, j))
+                        out.put((j, collate_quad(samples, self.max_targets,
+                                                 rng=rng, indices=idxs)))
+                    else:
+                        out.put((j, collate(samples, self.max_targets, idxs)))
                 except BaseException as e:  # surface in the consumer, never hang
                     out.put((j, e))
                     return

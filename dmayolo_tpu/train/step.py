@@ -60,6 +60,7 @@ def make_train_step(
     dtype=jnp.bfloat16,
     accumulate: int = 1,
     device_aug: Optional[Dict] = None,
+    freeze: int = 0,
 ):
     """Build the jittable step.
 
@@ -141,6 +142,22 @@ def make_train_step(
         new_params, new_opt = opt_update(
             state.params, grads, state.opt, sched, labels, weight_decay
         )
+        if freeze:
+            # frozen layers (ref train.py:205-212 --freeze N: model.0..N-1)
+            # stay EXACTLY as loaded — no grad, no decay, no momentum drift
+            def _is_frozen(k):
+                return k[0] == "model" and k[1].isdigit() and int(k[1]) < freeze
+
+            new_params = {
+                k: (state.params[k] if _is_frozen(k) else v)
+                for k, v in new_params.items()
+            }
+            new_opt = new_opt._replace(
+                mom={k: (state.opt.mom[k] if _is_frozen(k) else v)
+                     for k, v in new_opt.mom.items()},
+                vel={k: (state.opt.vel[k] if _is_frozen(k) else v)
+                     for k, v in new_opt.vel.items()},
+            )
 
         updates = state.ema_updates + 1
         d = ema_decay(updates)

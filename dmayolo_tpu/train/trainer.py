@@ -86,6 +86,12 @@ class Trainer:
         ckpt_async: bool = False,
         device_aug: bool = False,
         fastload: bool = False,
+        rect: bool = False,
+        quad: bool = False,
+        nosave: bool = False,
+        noval: bool = False,
+        freeze: int = 0,
+        save_period: int = -1,
     ):
         self.hyp = dict(hyp)
         self.epochs = epochs
@@ -107,6 +113,9 @@ class Trainer:
         self.multi_scale = multi_scale
         self.image_weights = image_weights
         self.single_cls = single_cls
+        self.nosave = nosave
+        self.noval = noval
+        self.save_period = save_period
 
         self.data = check_dataset(data)
         nc = 1 if single_cls else self.data["nc"]
@@ -153,12 +162,15 @@ class Trainer:
             self.data["train"], img_size=img_size, augment=True, hyp=host_h,
             stride=int(self.model.stride.max()),
             nc=self.data["nc"], batch_size=batch_size,
-            seed=seed, single_cls=single_cls, cache_images=cache_images,
+            seed=seed, single_cls=single_cls,
+            cache_images=(cache_images == "ram" or cache_images is True),
+            cache_disk=(cache_images == "disk"),
+            rect=rect,  # rectangular training (ref --rect; disables mosaic)
             fastload=fastload,
         )
         self.train_loader = DataLoader(
-            self.train_ds, batch_size, max_targets=max_targets, shuffle=True,
-            workers=workers, seed=seed,
+            self.train_ds, batch_size, max_targets=max_targets,
+            shuffle=not rect, workers=workers, seed=seed, quad=quad,
         )
         self.steps_per_epoch = len(self.train_loader)  # loader batches/epoch
         # gradient accumulation toward the nominal batch 64 (ref
@@ -204,7 +216,10 @@ class Trainer:
             weight_decay=self.weight_decay, adam=adam, dtype=dtype,
             accumulate=self.accumulate,
             device_aug=self.device_aug,
+            freeze=freeze,
         )
+        if freeze:
+            print(f"freezing model.0..model.{freeze - 1} (ref train.py:205-212)")
         # donation is disabled everywhere: XLA CPU deadlocks on donated
         # buffers feeding collectives, and the axon TPU backend fails with
         # INVALID_ARGUMENT when the train step donates its state (verified
@@ -400,7 +415,9 @@ class Trainer:
                         )
 
             row = {"epoch": epoch, **{f"train/{k}": v for k, v in running.items()}}
-            if (epoch + 1) % self.val_interval == 0 or epoch == self.epochs - 1:
+            final_epoch = epoch == self.epochs - 1
+            if ((epoch + 1) % self.val_interval == 0 or final_epoch) \
+                    and (not self.noval or final_epoch):  # ref --noval train.py:475
                 res = self.validate()
                 if res.maps is not None:
                     self.maps = res.maps
@@ -410,7 +427,8 @@ class Trainer:
                 )
                 if fi > self.best_fitness:
                     self.best_fitness = fi
-                    self._save("best", epoch)
+                    if not self.nosave:  # ref --nosave train.py:508
+                        self._save("best", epoch)
                 row.update(
                     {
                         "metrics/precision": res.mp,
@@ -424,7 +442,10 @@ class Trainer:
                     print(f"early stopping at epoch {epoch}")
                     self._save("last", epoch)
                     break
-            self._save("last", epoch)
+            if not self.nosave or final_epoch:
+                self._save("last", epoch)
+            if self.save_period > 0 and (epoch + 1) % self.save_period == 0:
+                self._save(f"epoch{epoch}", epoch)  # ref --save-period train.py:531
             self._pull_cache = None  # host copy only needed for this epoch's saves
             self.callbacks.run("on_model_save")
             row["time_s"] = time.time() - t0
