@@ -43,6 +43,10 @@ def build_parser():
     p.add_argument("--fastload", action="store_true",
                    help="native C++ JPEG decode+resize input path "
                         "(native/fastload.cpp; cv2 fallback per file)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise per-layer activations in backward "
+                        "(jax.checkpoint): ~1 extra forward of FLOPs for "
+                        "O(depth) less HBM — fits larger batch/imgsz")
     p.add_argument("--max-targets", type=int, default=128)
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--spatial-shard", action="store_true",
@@ -211,6 +215,7 @@ def _make_trainer(opt, hyp, out_dir):
         noval=getattr(opt, "noval", False),
         freeze=getattr(opt, "freeze", 0),
         save_period=getattr(opt, "save_period", -1),
+        remat=getattr(opt, "remat", False),
     )
 
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
-from ..nn.module import Module, Sequential, Vars, make_vars
+from ..nn.module import ApplyCtx, Module, Sequential, Vars, make_vars
 from ..nn.heads import Detect, TDetect
 from .registry import INSERT_N, REGISTRY, WIDTH_GAIN
 
@@ -222,18 +222,50 @@ class DetectionModel(Module):
         return layers, specs, sorted(set(save))
 
     # -- execution ----------------------------------------------------------
-    def __call__(self, v: Vars, x):
+    def __call__(self, v: Vars, x, remat: bool = False):
         """Save-list graph execution (ref: yolo.py:211-239). Returns the raw
-        head output (list of per-scale maps)."""
+        head output (list of per-scale maps).
+
+        remat=True wraps every graph layer in `jax.checkpoint`: activations
+        inside a layer are recomputed during backward instead of kept live,
+        trading ~1 extra forward of FLOPs for O(depth) less HBM — the TPU
+        way to fit large-batch / high-resolution (1536px VisDrone) training.
+        """
         y: Dict[int, jax.Array] = {}
         for mod in self.layers:
             f = mod.f
             if f != -1:
                 x = y[f % mod.i] if isinstance(f, int) else [x if j == -1 else y[j % mod.i] for j in f]
-            x = mod(v, x)
+            x = self._run_layer(mod, v, x) if remat else mod(v, x)
             if mod.i in self.save:
                 y[mod.i] = x
         return x
+
+    @staticmethod
+    def _run_layer(mod, v: Vars, x):
+        """One layer as a pure checkpointed function.
+
+        The layer gets its own ApplyCtx (fresh stats_out, a per-layer rng
+        stream folded by layer index) so the function is pure in
+        (params, stats, rng, x) and safe to re-trace for the rematerialised
+        backward pass; BN stat updates are merged back into the outer ctx.
+        """
+        ctx = v.ctx
+        rng = None
+        if ctx.rng is not None:
+            rng = jax.random.fold_in(ctx.rng, 100000 + mod.i)
+
+        def f(params, stats, r, xin):
+            inner = ApplyCtx(train=ctx.train, dtype=ctx.dtype, rng=r,
+                             stats_out={} if ctx.train else None,
+                             fused=ctx.fused)
+            out = mod(Vars(params, stats, inner), xin)
+            return out, (inner.stats_out if ctx.train else {})
+
+        out, stats_out = jax.checkpoint(f)(v.params, v.stats, rng, x)
+        if ctx.train and stats_out:
+            ctx.stats_out.update(stats_out)
+        return out
 
     def _probe_shapes(self, s: int):
         """Shapes of raw head outputs for an s x s input, via eval_shape."""
@@ -260,10 +292,10 @@ class DetectionModel(Module):
         return params, stats
 
     def apply(self, params, stats, x, train: bool = False, rng=None,
-              dtype=jnp.float32, fused: bool = False):
+              dtype=jnp.float32, fused: bool = False, remat: bool = False):
         """Forward. train=True returns (raw, new_stats); else raw list."""
         v = make_vars(params, stats, train=train, rng=rng, dtype=dtype, fused=fused)
-        out = self(v, x)
+        out = self(v, x, remat=remat)
         if train:
             new_stats = dict(stats)
             new_stats.update(v.ctx.stats_out)

@@ -61,6 +61,7 @@ def make_train_step(
     accumulate: int = 1,
     device_aug: Optional[Dict] = None,
     freeze: int = 0,
+    remat: bool = False,
 ):
     """Build the jittable step.
 
@@ -105,7 +106,8 @@ def make_train_step(
             else:
                 x = imgs.astype(dtype) / 255.0 if imgs.dtype == jnp.uint8 else imgs.astype(dtype)
                 tgt = targets
-            raw, new_stats = model.apply(p, stats, x, train=True, rng=rng, dtype=dtype)
+            raw, new_stats = model.apply(p, stats, x, train=True, rng=rng,
+                                         dtype=dtype, remat=remat)
             total, items = loss_fn(raw, tgt)
             return total, (items, new_stats)
 

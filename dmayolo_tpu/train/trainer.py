@@ -92,6 +92,7 @@ class Trainer:
         noval: bool = False,
         freeze: int = 0,
         save_period: int = -1,
+        remat: bool = False,
     ):
         self.hyp = dict(hyp)
         self.epochs = epochs
@@ -217,6 +218,7 @@ class Trainer:
             accumulate=self.accumulate,
             device_aug=self.device_aug,
             freeze=freeze,
+            remat=remat,
         )
         if freeze:
             print(f"freezing model.0..model.{freeze - 1} (ref train.py:205-212)")

@@ -111,6 +111,39 @@ def test_grad_accumulation_matches_big_batch():
     assert np.isfinite(float(m_b["loss"]))
 
 
+def test_remat_matches_plain_step():
+    """remat=True (per-layer jax.checkpoint) changes memory, not math: loss,
+    updated params and BN stats match the plain step."""
+    rng = np.random.default_rng(7)
+    imgs, targets = fake_batch(rng, 4)
+
+    model, state_a, step_a = make_setup(bs=4)
+    state_a, m_a = jax.jit(step_a)(state_a, imgs, targets, jax.random.PRNGKey(0))
+
+    model_b = DetectionModel(TINY_CFG)
+    params, stats = model_b.init_with_priors(jax.random.PRNGKey(0))
+    loss = ComputeLoss(model_b.head.anchors, HYP, nc=4)
+    sched = Schedule(HYP, epochs=3, steps_per_epoch=10, batch_size=4)
+    step_b = make_train_step(
+        model_b, loss, sched, param_groups(model_b),
+        weight_decay=HYP["weight_decay"], dtype=jnp.float32, remat=True,
+    )
+    state_b = init_train_state(params, stats)
+    state_b, m_b = jax.jit(step_b)(state_b, imgs, targets, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    for k in state_a.params:
+        np.testing.assert_allclose(
+            np.asarray(state_a.params[k]), np.asarray(state_b.params[k]),
+            atol=1e-5, err_msg=str(k),
+        )
+    for k in state_a.stats:
+        np.testing.assert_allclose(
+            np.asarray(state_a.stats[k]), np.asarray(state_b.stats[k]),
+            atol=1e-6, err_msg=str(k),
+        )
+
+
 @pytest.mark.parametrize("spatial", [False, True])
 def test_mesh_train_step(spatial):
     if len(jax.devices()) < 8:
