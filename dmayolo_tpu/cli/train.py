@@ -153,6 +153,7 @@ def main(argv=None):
             dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
             max_targets=opt.max_targets,
             multiple_of=max(jax.local_device_count(), 1),
+            remat=getattr(opt, "remat", False),
         )
 
     if opt.evolve:

@@ -105,7 +105,8 @@ def find_train_batch_size(model, loss_fn, hyp: dict, img_size: int = 640,
                           hbm_bytes: Optional[int] = None,
                           default: int = 16,
                           max_targets: int = 64,
-                          multiple_of: int = 1) -> int:
+                          multiple_of: int = 1,
+                          remat: bool = False) -> int:
     """Autobatch over the full training step (fwd+loss+grad+opt+EMA) of
     `model` at `img_size` — the reference's check_train_batch_size analog."""
     import jax.numpy as jnp
@@ -119,7 +120,7 @@ def find_train_batch_size(model, loss_fn, hyp: dict, img_size: int = 640,
     sched = Schedule(hyp, epochs=100, steps_per_epoch=100)
     step = make_train_step(model, loss_fn, sched, param_groups(model),
                            weight_decay=hyp.get("weight_decay", 5e-4),
-                           dtype=dtype)
+                           dtype=dtype, remat=remat)
     state = init_train_state(params, stats)
     state_shapes = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), state

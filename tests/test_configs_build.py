@@ -20,3 +20,23 @@ def test_config_builds(cfg):
 def test_bundle_is_complete():
     # all reference configs that the reference itself can build are bundled
     assert len(CONFIGS) >= 65, len(CONFIGS)
+
+
+REF_BROKEN = {
+    # the 4 configs broken in the reference itself (author channel-arithmetic
+    # mistakes); they must fail to build here too, for the same class of
+    # reason: bad conv group/channel math or wrong constructor arity.
+    "CASMM": ValueError,       # SMMConv feeds mismatched conv groups
+    "CASMMsiou": ValueError,   # same backbone as CASMM (BAM head variant)
+    "CMCA": TypeError,         # Concat of unequal spatial dims (stride bug)
+    "adaptadd": TypeError,     # AdaptADD used with 1 input, needs 2 dims
+}
+
+
+@pytest.mark.parametrize("name", sorted(REF_BROKEN), ids=str)
+def test_reference_broken_configs_fail_identically(name):
+    ref = Path("/root/reference/models") / f"{name}.yaml"
+    if not ref.exists():
+        pytest.skip("reference tree not mounted")
+    with pytest.raises(REF_BROKEN[name]):
+        DetectionModel(ref)
