@@ -91,12 +91,28 @@ def setup_device(device: str | None):
 
 def enable_compilation_cache(path: str = "~/.cache/dmayolo_jax"):
     """Persistent XLA compilation cache — first compiles of big models over
-    the TPU tunnel take minutes; cached reruns are instant."""
+    the TPU tunnel take minutes; cached reruns are instant.
+
+    The cache dir is fingerprinted by the host CPU's feature set: XLA:CPU
+    AOT executables bake in the compile machine's ISA extensions, and
+    loading one on a host missing those features risks SIGILL (the loader
+    only warns). A different host gets a cold cache instead of a crash."""
+    import hashlib
     import os
 
     import jax
 
-    d = os.path.expanduser(path)
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    tag = hashlib.sha1(feats.encode()).hexdigest()[:10]
+    d = os.path.join(os.path.expanduser(path), f"host-{tag}")
     os.makedirs(d, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", d)
