@@ -15,8 +15,6 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence
 
-import numpy as np
-
 import jax
 
 V5E_HBM_BYTES = 16 * 1024**3  # v5e default when memory_stats is unavailable
@@ -61,14 +59,31 @@ def autobatch(lower_for_batch: Callable[[int], object],
               default: int = 16,
               max_batch: int = 1024,
               multiple_of: int = 1) -> int:
-    """Pick the largest batch whose predicted memory fits fraction*budget.
+    """Pick the largest batch whose MEASURED memory fits fraction*budget.
+
+    Probes a doubling ladder of batch sizes and reads XLA's memory analysis
+    at each — no extrapolation.  Measured v5e behavior that rules out a
+    small-probe linear fit (exp_autobatch_calib.py):
+
+    - the analysis is nearly exact at the OOM boundary (flagship 640px:
+      bs32 = 13.6G runs, bs48 = 15.6G OOMs on a 16G chip), but the
+      per-image slope at bs 1-4 is ~2.5x the slope near the boundary, so a
+      (1,2,4) fit lands at bs 13 where bs 32 actually fits;
+    - memory is NOT monotonic in batch (1536px: bs8 schedules to 14.25G,
+      bs4 to 15.25G) — so the ladder keeps probing past a just-over-limit
+      measurement (up to 1.25x the limit) before concluding;
+    - compilation itself can fail for oversized programs (remote compile
+      500 at 1536px bs12) — a compile failure above a working size means
+      "doesn't fit", not "analysis unavailable".
 
     Args:
         lower_for_batch: bs -> `jax.jit(step).lower(...)` at that batch size.
         fraction: memory fill target (reference default 0.9).
+        batch_sizes: initial probe sizes; the ladder continues doubling
+            from the largest.
         hbm_bytes: override the measured budget (useful off-device).
         default: returned when no budget or no analysis is available
-                 (reference returns its default on CPU, autobatch.py:33-35).
+            (reference returns its default on CPU, autobatch.py:33-35).
         multiple_of: round down to this multiple (device count on a mesh).
     """
     budget = hbm_bytes if hbm_bytes is not None else device_memory_budget()
@@ -77,26 +92,83 @@ def autobatch(lower_for_batch: Callable[[int], object],
               f"batch-size {default}")
         return default
 
-    xs, ys = [], []
-    for bs in batch_sizes:
-        m = step_memory_bytes(lower_for_batch(bs))
+    limit = budget * fraction
+    gib = 1024**3
+    measured = {}
+
+    def probe(bs):
+        """-> ('ok', bytes) | ('fail', None) | ('noinfo', None), memoised."""
+        if bs in measured:
+            return measured[bs]
+        try:
+            m = step_memory_bytes(lower_for_batch(bs))
+        except Exception as e:  # lowering/compile refused the program
+            print(f"autobatch: bs={bs} failed to compile ({type(e).__name__})")
+            measured[bs] = ("fail", None)
+            return measured[bs]
         if m is None:
+            measured[bs] = ("noinfo", None)
+            return measured[bs]
+        fits = "fits" if m <= limit else "over"
+        print(f"autobatch: bs={bs} -> {m/gib:.2f}G ({fits} {limit/gib:.2f}G "
+              f"= {fraction*100:.0f}% of {budget/gib:.2f}G)")
+        measured[bs] = ("ok", m)
+        return measured[bs]
+
+    # doubling ladder: initial probes, then keep doubling while plausible
+    ladder = [b for b in batch_sizes if b <= max_batch] or [max_batch]
+    while ladder[-1] * 2 <= max_batch:
+        ladder.append(ladder[-1] * 2)
+
+    best = None          # largest bs measured under the limit
+    any_ok = False
+    stopped_early = False
+    for bs in ladder:
+        status, m = probe(bs)
+        if status == "noinfo":
             print(f"autobatch: XLA memory analysis unavailable — using "
                   f"default batch-size {default}")
             return default
-        xs.append(bs)
-        ys.append(m)
-    # memory = intercept (params/opt/ema, bs-independent) + slope * bs
-    slope, intercept = np.polyfit(xs, ys, deg=1)
-    if slope <= 0:  # degenerate fit (tiny model): any batch fits
-        b = max_batch
-    else:
-        b = int((budget * fraction - intercept) / slope)
-    b = max(multiple_of, min(b - b % multiple_of, max_batch))
-    gib = 1024**3
-    print(f"autobatch: {budget/gib:.2f}G budget, fit {intercept/gib:.2f}G + "
-          f"{slope/gib:.3f}G/img -> batch-size {b} "
-          f"({(intercept + slope*b)/gib:.2f}G predicted, {fraction*100:.0f}% target)")
+        if status == "fail":
+            if not any_ok:
+                # can't even compile the smallest probe — something else is
+                # wrong; don't guess
+                print(f"autobatch: smallest probe failed — using default "
+                      f"batch-size {default}")
+                return default
+            stopped_early = True
+            break
+        any_ok = True
+        if m <= limit:
+            best = bs
+        elif m > limit * 1.25:
+            # clearly over (not schedule noise) — stop the ladder
+            stopped_early = True
+            break
+
+    if best is None:
+        # nothing under the limit; fall back to the smallest compiling probe
+        b = next(bs for bs in ladder if measured.get(bs, ("", 0))[0] == "ok")
+        b = max(1, b - b % multiple_of) if b >= multiple_of else b
+        print(f"autobatch: no probe under the {fraction*100:.0f}% limit — "
+              f"using smallest compiling batch-size {b}")
+        return b
+
+    # one midpoint refinement between the best fit and the next rung
+    if stopped_early or measured.get(best * 2, ("", 0))[0] in ("fail", "ok"):
+        cand = best * 3 // 2
+        cand -= cand % multiple_of
+        if cand > best and cand <= max_batch and cand not in measured:
+            status, m = probe(cand)
+            if status == "ok" and m <= limit:
+                best = cand
+
+    b = max(multiple_of if multiple_of > 1 else 1,
+            min(best - best % multiple_of if best >= multiple_of else best,
+                max_batch))
+    status, m = measured[best]
+    print(f"autobatch: batch-size {b} ({m/gib:.2f}G measured, "
+          f"{fraction*100:.0f}% target of {budget/gib:.2f}G)")
     return b
 
 
@@ -106,6 +178,7 @@ def find_train_batch_size(model, loss_fn, hyp: dict, img_size: int = 640,
                           default: int = 16,
                           max_targets: int = 64,
                           multiple_of: int = 1,
+                          max_batch: int = 1024,
                           remat: bool = False) -> int:
     """Autobatch over the full training step (fwd+loss+grad+opt+EMA) of
     `model` at `img_size` — the reference's check_train_batch_size analog."""
@@ -138,4 +211,5 @@ def find_train_batch_size(model, loss_fn, hyp: dict, img_size: int = 640,
         return jstep.lower(state_shapes, imgs, tgt, key)
 
     return autobatch(lower_for_batch, fraction=fraction, hbm_bytes=hbm_bytes,
-                     default=default, multiple_of=multiple_of)
+                     default=default, multiple_of=multiple_of,
+                     max_batch=max_batch)
