@@ -21,6 +21,7 @@ configs where >= 5,000 img/s IS physically attainable and attained
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -37,7 +38,20 @@ def main():
 
     from dmayolo_tpu.cli.common import enable_compilation_cache
 
-    enable_compilation_cache()
+    # Key the bench cache by git HEAD: a stale persistent-cache entry can pin
+    # an executable compiled under older flags (measured 3.7x slower than a
+    # fresh compile of identical HLO — ROUND2_NOTES). Reruns at one commit
+    # stay instant; any code change benches freshly-compiled programs.
+    try:
+        import subprocess
+
+        head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              capture_output=True, text=True, timeout=10,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        rev = head.stdout.strip() or "nogit"
+    except Exception:
+        rev = "nogit"
+    enable_compilation_cache(f"~/.cache/dmayolo_jax_bench/{rev}")
 
     from dmayolo_tpu.core.nms import nms_parts
     from dmayolo_tpu.graph import DetectionModel

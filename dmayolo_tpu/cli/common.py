@@ -93,25 +93,34 @@ def enable_compilation_cache(path: str = "~/.cache/dmayolo_jax"):
     """Persistent XLA compilation cache — first compiles of big models over
     the TPU tunnel take minutes; cached reruns are instant.
 
-    The cache dir is fingerprinted by the host CPU's feature set: XLA:CPU
+    The cache dir is fingerprinted by the host CPU's identity: XLA:CPU
     AOT executables bake in the compile machine's ISA extensions, and
     loading one on a host missing those features risks SIGILL (the loader
-    only warns). A different host gets a cold cache instead of a crash."""
+    only warns). The fingerprint covers family/model/stepping/name as well
+    as the flags list, because LLVM derives tuning features (e.g.
+    prefer-no-scatter) from the CPU *model* — two hosts with identical
+    cpuinfo flags can still produce mismatched AOT entries. A different
+    host gets a cold cache instead of a crash."""
     import hashlib
     import os
 
     import jax
 
-    feats = ""
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
+                key = line.split(":", 1)[0].strip()
+                if key in ("vendor_id", "cpu family", "model", "model name",
+                           "stepping"):
+                    ident.append(line.strip())
+                elif key == "flags":
+                    ident.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                elif key == "processor" and ident:
+                    break  # one core's records are enough
     except OSError:
         pass
-    tag = hashlib.sha1(feats.encode()).hexdigest()[:10]
+    tag = hashlib.sha1("\n".join(ident).encode()).hexdigest()[:10]
     d = os.path.join(os.path.expanduser(path), f"host-{tag}")
     os.makedirs(d, exist_ok=True)
     try:
