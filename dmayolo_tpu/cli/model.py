@@ -15,6 +15,12 @@ def build_parser():
     p.add_argument("--nc", type=int, default=None)
     p.add_argument("--imgsz", "--img", type=int, default=640, dest="imgsz")
     p.add_argument("--profile", action="store_true", help="per-layer timing")
+    p.add_argument("--batch", type=int, default=1,
+                   help="profile batch size (use serving batch, e.g. 128)")
+    p.add_argument("--bf16", action="store_true",
+                   help="profile in bfloat16 (serving dtype)")
+    p.add_argument("--fused", action="store_true",
+                   help="profile BN-folded inference weights (fuse_params)")
     p.add_argument("--verbose", action="store_true", help="print the layer table")
     p.add_argument("--device", type=str, default=None)
     return p
@@ -37,7 +43,17 @@ def main(argv=None):
         print(model.describe())
     model_info(model, params, stats, img_size=opt.imgsz)
     if opt.profile:
-        profile_layers(model, params, stats, img_size=min(opt.imgsz, 320))
+        import jax.numpy as jnp
+
+        if opt.fused:
+            from ..nn.fuse import fuse_params
+
+            params, stats = fuse_params(model, params, stats)
+        profile_layers(model, params, stats,
+                       img_size=opt.imgsz if opt.batch > 1 else min(opt.imgsz, 320),
+                       batch=opt.batch,
+                       dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
+                       fused=opt.fused)
     return model
 
 

@@ -51,16 +51,21 @@ def model_info(model, params, stats, img_size: int = 640, verbose: bool = False)
     return out
 
 
-def profile_layers(model, params, stats, img_size: int = 256, iters: int = 10):
+def profile_layers(model, params, stats, img_size: int = 256, iters: int = 10,
+                   batch: int = 1, dtype=None, fused: bool = False):
     """Per-layer wall-time profile: runs the graph once per prefix and
-    differences the timings (jit-per-prefix; coarse but backend-true)."""
-    x = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    differences the timings (jit-per-prefix; coarse but backend-true).
+
+    batch/dtype/fused let the profile match serving conditions (e.g.
+    batch=128, dtype=bfloat16, fused=True with fuse_params weights)."""
+    dtype = dtype or jnp.float32
+    x = jnp.zeros((batch, img_size, img_size, 3), dtype)
     results = []
     from ..nn.module import make_vars
 
     def run_to(k):
         def f(p, s, xx):
-            v = make_vars(p, s)
+            v = make_vars(p, s, fused=fused, dtype=dtype)
             y = {}
             out = xx
             for mod in model.layers[: k + 1]:

@@ -178,3 +178,21 @@ def test_callbacks_bus():
     assert hits == [(1, 2)]
     with pytest.raises(AssertionError):
         cb.run("not_a_hook")
+
+
+def test_profile_layers_serving_conditions(capsys):
+    # profile_layers must accept serving conditions (batch>1, bf16, fused
+    # weights) — the flagship serving profile runs through this path.
+    from dmayolo_tpu.graph import DetectionModel
+    from dmayolo_tpu.nn.fuse import fuse_params
+    from dmayolo_tpu.utils.model_info import profile_layers
+    from tests.test_train_step import TINY_CFG
+
+    m = DetectionModel(TINY_CFG)
+    params, stats = m.init_with_priors(jax.random.PRNGKey(0))
+    fp, fs = fuse_params(m, params, stats)
+    res = profile_layers(m, fp, fs, img_size=64, iters=1, batch=2,
+                         dtype=jnp.bfloat16, fused=True)
+    assert len(res) == len(m.specs)
+    assert all(cum >= 0 for _, _, _, cum in res)
+    assert "module" in capsys.readouterr().out
