@@ -59,8 +59,11 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    cfg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "dmayolo_tpu", "configs", "models")
+
     def build(cfg):
-        model = DetectionModel(f"dmayolo_tpu/configs/models/{cfg}.yaml", nc=10)
+        model = DetectionModel(os.path.join(cfg_dir, f"{cfg}.yaml"), nc=10)
         params, stats = model.init_with_priors(jax.random.PRNGKey(0))
         fp, fs = fuse_params(model, params, stats)
         return model, fp, fs

@@ -148,12 +148,20 @@ def main(argv=None):
             from ..train.loss import ComputeLoss
 
             loss = ComputeLoss(model.head.anchors, dict(hyp), nc=data["nc"])
+        h = dict(hyp)
         opt.batch_size = find_train_batch_size(
-            model, loss, dict(hyp), img_size=opt.imgsz,
+            model, loss, h, img_size=opt.imgsz,
             dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
             max_targets=opt.max_targets,
             multiple_of=max(jax.local_device_count(), 1),
             remat=getattr(opt, "remat", False),
+            # mirror the Trainer's deployed program: accumulate cadence and
+            # uint8 inputs under --device-aug change the argument footprint
+            device_aug=(
+                {"hgain": h.get("hsv_h", 0.015), "sgain": h.get("hsv_s", 0.7),
+                 "vgain": h.get("hsv_v", 0.4), "fliplr": h.get("fliplr", 0.5)}
+                if getattr(opt, "device_aug", False) else None),
+            accumulate=int(opt.accumulate) if getattr(opt, "accumulate", 0) else None,
         )
 
     if opt.evolve:

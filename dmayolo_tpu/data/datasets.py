@@ -261,6 +261,12 @@ class DetectionDataset:
             if res is not None:
                 im, (h0, w0), hw = res
                 out = (im, (h0, w0), hw)
+                if npy is not None and not npy.exists():
+                    try:  # --cache disk must populate from this path too
+                        np.save(npy, im)
+                        np.save(str(npy) + ".meta.npy", np.array([h0, w0]))
+                    except OSError:
+                        pass
                 if self.cache_images:
                     self._im_cache[i] = out
                 return out

@@ -74,7 +74,12 @@ def load(path, img_size: int, augment: bool = False
     if rc != 0:
         return None
     h0, w0, h, w = dims
-    return np.ascontiguousarray(out[:h, :w]), (h0, w0), (h, w)
+    # fl_load writes rows densely packed (stride w*3, see fastload.cpp
+    # resize_* / memcpy paths) into the img_size^2 buffer — reshape the
+    # dense prefix; slicing out[:h, :w] would scramble portrait images
+    # (w < img_size), where row stride != img_size*3.
+    img = out.reshape(-1)[: h * w * 3].reshape(h, w, 3).copy()
+    return img, (h0, w0), (h, w)
 
 
 def load_letterbox(path, shape: Tuple[int, int], scaleup: bool = False

@@ -34,11 +34,36 @@ def is_coco_data(data: Dict) -> bool:
     return isinstance(val, str) and val.endswith("coco/val2017.txt")
 
 
-def append_coco_json(jdict: List[dict], dets_native: np.ndarray, stem: str,
-                     class_map: Sequence[int]) -> None:
+def image_id_map(im_files: Sequence[str]) -> Dict[str, object]:
+    """Stable image ids shared by the GT builder and the prediction writer.
+
+    int(stem)/stem when every stem is unique (the reference/COCO convention,
+    val.py:52); otherwise unique relative-path ids, so sequence-style
+    datasets (frames named img00001.jpg inside each sequence dir) don't
+    silently attribute detections across sequences."""
+    import os
+
+    files = [str(f) for f in im_files]
+    stems = [Path(f).stem for f in files]
+    if len(set(stems)) == len(files):
+        return {f: (int(s) if s.isnumeric() else s)
+                for f, s in zip(files, stems)}
+    root = os.path.commonpath(files) if len(files) > 1 else os.path.dirname(files[0])
+    return {
+        f: str(Path(os.path.relpath(f, root)).with_suffix("")).replace(os.sep, "/")
+        for f in files
+    }
+
+
+def append_coco_json(jdict: List[dict], dets_native: np.ndarray,
+                     stem: Optional[str] = None,
+                     class_map: Sequence[int] = (),
+                     image_id=None) -> None:
     """Append one image's detections (native-space (k,6) xyxy/conf/cls) as
-    COCO result entries.  ref: val.py:50-60."""
-    image_id = int(stem) if stem.isnumeric() else stem
+    COCO result entries.  ref: val.py:50-60.  Pass image_id from
+    image_id_map() when stems may repeat across directories."""
+    if image_id is None:
+        image_id = int(stem) if stem.isnumeric() else stem
     d = np.asarray(dets_native, np.float64)
     for x1, y1, x2, y2, conf, cls in d:
         jdict.append({
@@ -74,12 +99,12 @@ def build_coco_gt_from_yolo(val_path, nc: int, names=None,
 
     ds = DetectionDataset(val_path, img_size=640, augment=False, rect=False)
     cmap = list(class_map) if class_map is not None else list(range(nc))
+    ids = image_id_map(ds.im_files)  # same map the prediction writer uses
     images, annotations = [], []
     ann_id = 1
     cats = set()
     for f, lb, (h, w) in zip(ds.im_files, ds.labels, ds.shapes):
-        stem = Path(f).stem
-        iid = int(stem) if stem.isnumeric() else stem
+        iid = ids[str(f)]
         images.append({"id": iid, "file_name": Path(f).name,
                        "height": int(h), "width": int(w)})
         for cls, cx, cy, bw, bh in np.asarray(lb, np.float64).reshape(-1, 5):

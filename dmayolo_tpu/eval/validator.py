@@ -152,6 +152,10 @@ def run_validation(
     if save_txt_dir is not None:
         save_txt_dir = Path(save_txt_dir)
         save_txt_dir.mkdir(parents=True, exist_ok=True)
+    if save_json is not None:
+        from .coco_json import image_id_map
+
+        json_ids = image_id_map(ds.im_files)
 
     iouv = np.linspace(0.5, 0.95, 10)
     stats_acc = []
@@ -222,7 +226,8 @@ def run_validation(
                     _save_txt(dn, native, save_txt_dir / f"{stem}.txt", save_conf)
                 if save_json is not None:  # COCO entries, ref val.py:273
                     append_coco_json(
-                        jdict=save_json, dets_native=dn, stem=stem,
+                        jdict=save_json, dets_native=dn,
+                        image_id=json_ids[str(ds.im_files[idx])],
                         class_map=class_map if class_map is not None
                         else list(range(1000)),
                     )

@@ -84,13 +84,16 @@ def autobatch(lower_for_batch: Callable[[int], object],
         hbm_bytes: override the measured budget (useful off-device).
         default: returned when no budget or no analysis is available
             (reference returns its default on CPU, autobatch.py:33-35).
-        multiple_of: round down to this multiple (device count on a mesh).
+        multiple_of: probe only multiples of this (device count on a mesh) —
+            every candidate the search returns was actually measured.
     """
+    mult = max(int(multiple_of), 1)
     budget = hbm_bytes if hbm_bytes is not None else device_memory_budget()
     if budget is None:
+        d = max(default - default % mult, mult) if mult > 1 else default
         print(f"autobatch: no device memory budget (CPU?) — using default "
-              f"batch-size {default}")
-        return default
+              f"batch-size {d}")
+        return d
 
     limit = budget * fraction
     gib = 1024**3
@@ -115,8 +118,9 @@ def autobatch(lower_for_batch: Callable[[int], object],
         measured[bs] = ("ok", m)
         return measured[bs]
 
-    # doubling ladder: initial probes, then keep doubling while plausible
-    ladder = [b for b in batch_sizes if b <= max_batch] or [max_batch]
+    # doubling ladder of valid (multiple-of-m) sizes: every rung the search
+    # can return has been measured
+    ladder = [b * mult for b in batch_sizes if b * mult <= max_batch] or [mult]
     while ladder[-1] * 2 <= max_batch:
         ladder.append(ladder[-1] * 2)
 
@@ -133,9 +137,10 @@ def autobatch(lower_for_batch: Callable[[int], object],
             if not any_ok:
                 # can't even compile the smallest probe — something else is
                 # wrong; don't guess
+                d = max(default - default % mult, mult) if mult > 1 else default
                 print(f"autobatch: smallest probe failed — using default "
-                      f"batch-size {default}")
-                return default
+                      f"batch-size {d}")
+                return d
             stopped_early = True
             break
         any_ok = True
@@ -147,29 +152,35 @@ def autobatch(lower_for_batch: Callable[[int], object],
             break
 
     if best is None:
-        # nothing under the limit; fall back to the smallest compiling probe
+        # nothing under the fraction*budget limit. If the smallest valid
+        # size still fits the PHYSICAL budget, run it (with a warning);
+        # if it exceeds the device entirely, refuse — returning it would
+        # OOM the exact program we just measured.
         b = next(bs for bs in ladder if measured.get(bs, ("", 0))[0] == "ok")
-        b = max(1, b - b % multiple_of) if b >= multiple_of else b
+        mem = measured[b][1]
+        if mem > budget:
+            raise RuntimeError(
+                f"autobatch: smallest valid batch-size {b} needs "
+                f"{mem/gib:.2f}G but the device budget is {budget/gib:.2f}G "
+                f"— reduce --imgsz, enable --remat, or use fewer devices "
+                f"(multiple_of={mult})")
         print(f"autobatch: no probe under the {fraction*100:.0f}% limit — "
-              f"using smallest compiling batch-size {b}")
+              f"using smallest compiling batch-size {b} "
+              f"({mem/gib:.2f}G of {budget/gib:.2f}G, tight)")
         return b
 
     # one midpoint refinement between the best fit and the next rung
     if stopped_early or measured.get(best * 2, ("", 0))[0] in ("fail", "ok"):
-        cand = best * 3 // 2
-        cand -= cand % multiple_of
+        cand = (best + best // 2) - (best // 2) % mult
         if cand > best and cand <= max_batch and cand not in measured:
-            status, m = probe(cand)
-            if status == "ok" and m <= limit:
+            status, mm = probe(cand)
+            if status == "ok" and mm <= limit:
                 best = cand
 
-    b = max(multiple_of if multiple_of > 1 else 1,
-            min(best - best % multiple_of if best >= multiple_of else best,
-                max_batch))
-    status, m = measured[best]
-    print(f"autobatch: batch-size {b} ({m/gib:.2f}G measured, "
+    mem = measured[best][1]
+    print(f"autobatch: batch-size {best} ({mem/gib:.2f}G measured, "
           f"{fraction*100:.0f}% target of {budget/gib:.2f}G)")
-    return b
+    return best
 
 
 def find_train_batch_size(model, loss_fn, hyp: dict, img_size: int = 640,
@@ -179,9 +190,18 @@ def find_train_batch_size(model, loss_fn, hyp: dict, img_size: int = 640,
                           max_targets: int = 64,
                           multiple_of: int = 1,
                           max_batch: int = 1024,
-                          remat: bool = False) -> int:
+                          remat: bool = False,
+                          device_aug: Optional[dict] = None,
+                          accumulate: Optional[int] = None,
+                          nbs: int = 64) -> int:
     """Autobatch over the full training step (fwd+loss+grad+opt+EMA) of
-    `model` at `img_size` — the reference's check_train_batch_size analog."""
+    `model` at `img_size` — the reference's check_train_batch_size analog.
+
+    Probes the program the Trainer will actually jit for each candidate
+    bs: same accumulate cadence (round(nbs/bs) unless given) so the
+    argument batch is accumulate*bs, and uint8 image inputs when
+    device_aug is on — a probe of a different program would mis-size
+    decisions made within ~150 MB of the limit (1536px calibration)."""
     import jax.numpy as jnp
 
     from .optim import Schedule, param_groups
@@ -190,25 +210,30 @@ def find_train_batch_size(model, loss_fn, hyp: dict, img_size: int = 640,
 
     dtype = dtype or jnp.bfloat16
     params, stats = model.init_with_priors(jax.random.PRNGKey(0))
-    sched = Schedule(hyp, epochs=100, steps_per_epoch=100)
-    step = make_train_step(model, loss_fn, sched, param_groups(model),
-                           weight_decay=hyp.get("weight_decay", 5e-4),
-                           dtype=dtype, remat=remat)
     state = init_train_state(params, stats)
     state_shapes = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), state
     )
-    jstep = jax.jit(step)
+    img_dtype = jnp.uint8 if device_aug is not None else jnp.float32
+    labels = param_groups(model)
 
     def lower_for_batch(bs: int):
-        imgs = jax.ShapeDtypeStruct((bs, img_size, img_size, 3), jnp.float32)
+        acc = accumulate if accumulate else max(round(nbs / bs), 1)
+        sched = Schedule(hyp, epochs=100, steps_per_epoch=100,
+                         batch_size=bs, step_scale=acc)
+        step = make_train_step(model, loss_fn, sched, labels,
+                               weight_decay=hyp.get("weight_decay", 5e-4),
+                               dtype=dtype, accumulate=acc,
+                               device_aug=device_aug, remat=remat)
+        n = acc * bs
+        imgs = jax.ShapeDtypeStruct((n, img_size, img_size, 3), img_dtype)
         tgt = Targets(
-            jax.ShapeDtypeStruct((bs, max_targets), jnp.float32),
-            jax.ShapeDtypeStruct((bs, max_targets, 4), jnp.float32),
-            jax.ShapeDtypeStruct((bs, max_targets), jnp.bool_),
+            jax.ShapeDtypeStruct((n, max_targets), jnp.float32),
+            jax.ShapeDtypeStruct((n, max_targets, 4), jnp.float32),
+            jax.ShapeDtypeStruct((n, max_targets), jnp.bool_),
         )
         key = jax.ShapeDtypeStruct((2,), jnp.uint32)
-        return jstep.lower(state_shapes, imgs, tgt, key)
+        return jax.jit(step).lower(state_shapes, imgs, tgt, key)
 
     return autobatch(lower_for_batch, fraction=fraction, hbm_bytes=hbm_bytes,
                      default=default, multiple_of=multiple_of,

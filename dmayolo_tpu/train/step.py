@@ -139,7 +139,10 @@ def make_train_step(
             (new_stats, grads, total), items_seq = jax.lax.scan(
                 body, (state.stats, zero_grads, 0.0), (im_s, tg_c, tg_b, tg_m, rngs)
             )
-            items = {k: items_seq[k][-1] for k in items_seq}
+            # mean over microbatches so box/obj/cls stay consistent with the
+            # group-mean `loss` below (last-microbatch-only items were 4x
+            # noisier than the loss curve at accumulate=4)
+            items = {k: jnp.mean(items_seq[k], axis=0) for k in items_seq}
 
         new_params, new_opt = opt_update(
             state.params, grads, state.opt, sched, labels, weight_decay

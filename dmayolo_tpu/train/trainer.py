@@ -187,6 +187,14 @@ class Trainer:
             else max(round(NBS / batch_size), 1)
         )
         self.accumulate = max(min(self.accumulate, self.steps_per_epoch), 1)
+        if rect and self.accumulate > 1:
+            # rect buckets letterbox each loader batch to its own shape, so
+            # batches in one accumulation group can't be concatenated into a
+            # single static-shape XLA step; step every batch instead (the
+            # weight-decay scaling below stays consistent with the cadence)
+            print(f"--rect: gradient accumulation disabled "
+                  f"(was {self.accumulate}; rect batch shapes vary)")
+            self.accumulate = 1
         self.weight_decay = h.get("weight_decay", 5e-4) * batch_size * self.accumulate / NBS
         self.class_weights = labels_to_class_weights(self.train_ds.labels, nc)
         self.maps = np.zeros(nc)  # per-class mAP for image-weight resampling

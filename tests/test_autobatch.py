@@ -87,12 +87,13 @@ def test_multiple_of_rounding():
                 return C()
         return L()
 
-    # budget 1.2GB, 90% target = 1.08G limit; memory 0.1G + 0.05G/img:
-    # ladder 1,2,4,8,16 fit; 32 -> 1.7G > 1.25*limit stops it; midpoint
-    # refinement probes 24 (1.3G, over) and keeps 16 (mult-of-8 already)
+    # budget 1.2GB, 90% target = 1.08G limit; memory 0.1G + 0.05G/img.
+    # multiple_of=8 -> ladder probes only valid sizes 8,16,32: 8,16 fit,
+    # 32 -> 1.7G > 1.25*limit stops it; midpoint probes 24 (1.3G, over)
+    # and keeps 16
     b = autobatch(lower, hbm_bytes=int(1.2e9), multiple_of=8)
     assert b == 16
-    assert calls == [1, 2, 4, 8, 16, 32, 24]
+    assert calls == [8, 16, 32, 24]
 
 
 def _fake_lower(mem_fn):
@@ -148,3 +149,57 @@ def test_smallest_probe_compile_failure_returns_default():
         raise RuntimeError("broken")
 
     assert autobatch(_fake_lower(mem), hbm_bytes=16 * 1024**3, default=7) == 7
+
+
+def test_multiple_of_never_returns_an_over_budget_batch():
+    # Regression: with multiple_of=8 and bs8 measuring OVER the device
+    # budget, autobatch used to round 1/2/4-fit results UP to 8 — the exact
+    # program it measured as not fitting. Now it must refuse.
+    import pytest
+
+    G = 1024**3
+    with pytest.raises(RuntimeError, match="smallest valid batch-size 8"):
+        autobatch(_fake_lower(lambda bs: int(2.5 * G * bs)),  # bs8 = 20G
+                  hbm_bytes=16 * G, multiple_of=8)
+
+
+def test_multiple_of_tight_fit_within_physical_budget_is_allowed():
+    # bs8 over the 90% limit (15.2G > 14.4G) but under the 16G device
+    # budget: usable, returned with a warning rather than refused.
+    G = 1024**3
+    b = autobatch(_fake_lower(lambda bs: int(1.9 * G * bs)),
+                  hbm_bytes=16 * G, multiple_of=8)
+    assert b == 8
+
+
+def test_probe_mirrors_deployed_program_accumulate_and_uint8():
+    # find_train_batch_size must lower the program the Trainer jits: batch
+    # dim accumulate*bs and uint8 images under device-aug.
+    import jax
+
+    from dmayolo_tpu.graph import DetectionModel
+    from dmayolo_tpu.train.loss import ComputeLoss
+
+    model = DetectionModel(dict(TINY_CFG), nc=3)
+    loss = ComputeLoss(model.head.anchors, HYP, nc=3)
+    seen = []
+    import dmayolo_tpu.train.autobatch as ab
+
+    orig = ab.autobatch
+
+    def spy(lower_for_batch, **kw):
+        seen.append(lower_for_batch(2).as_text())  # bs=2 -> accumulate=32
+        return 2
+
+    ab.autobatch = spy
+    try:
+        b = find_train_batch_size(
+            model, loss, HYP, img_size=64, dtype=jnp.float32,
+            hbm_bytes=4 * 1024**3, max_targets=4,
+            device_aug={"hgain": 0.015, "sgain": 0.7, "vgain": 0.4,
+                        "fliplr": 0.5})
+    finally:
+        ab.autobatch = orig
+    assert b == 2
+    # argument batch = accumulate(32) * bs(2) = 64 images, uint8 (device-aug)
+    assert "tensor<64x64x64x3xui8>" in seen[0]

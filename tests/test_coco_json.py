@@ -66,3 +66,49 @@ def test_is_coco_heuristic():
     assert is_coco_data({"val": "datasets/coco/val2017.txt"})
     assert not is_coco_data({"val": "datasets/VisDrone/images"})
     assert not is_coco_data({})
+
+
+def test_image_id_map_unique_stems_keep_reference_convention():
+    from dmayolo_tpu.eval.coco_json import image_id_map
+
+    m = image_id_map(["/d/a/000001.jpg", "/d/a/img.jpg"])
+    assert m["/d/a/000001.jpg"] == 1        # int-when-numeric (ref val.py:52)
+    assert m["/d/a/img.jpg"] == "img"
+
+
+def test_image_id_map_sequence_frames_do_not_collide():
+    # UAVDT/VisDrone-sequence layout: every sequence dir repeats img00001...
+    from dmayolo_tpu.eval.coco_json import image_id_map
+
+    files = ["/d/seq1/img00001.jpg", "/d/seq1/img00002.jpg",
+             "/d/seq2/img00001.jpg", "/d/seq2/img00002.jpg"]
+    m = image_id_map(files)
+    assert len(set(m.values())) == 4
+    assert m["/d/seq1/img00001.jpg"] != m["/d/seq2/img00001.jpg"]
+
+
+def test_gt_builder_and_writer_agree_on_colliding_stems(tmp_path):
+    # end-to-end: two sequences with identical frame names; the GT builder
+    # and append_coco_json must use the SAME unique ids
+    import cv2
+    import numpy as np
+
+    from dmayolo_tpu.eval.coco_json import (build_coco_gt_from_yolo,
+                                            image_id_map)
+
+    for seq in ("seq1", "seq2"):
+        (tmp_path / "images" / seq).mkdir(parents=True)
+        (tmp_path / "labels" / seq).mkdir(parents=True)
+        img = np.full((64, 64, 3), 128, np.uint8)
+        cv2.imwrite(str(tmp_path / "images" / seq / "img00001.jpg"), img)
+        (tmp_path / "labels" / seq / "img00001.txt").write_text(
+            "0 0.5 0.5 0.25 0.25\n")
+    gt = build_coco_gt_from_yolo(str(tmp_path / "images"), nc=1)
+    gt_ids = {im["id"] for im in gt["images"]}
+    assert len(gt_ids) == 2
+
+    from dmayolo_tpu.data.datasets import DetectionDataset
+
+    ds = DetectionDataset(str(tmp_path / "images"), img_size=64, augment=False)
+    ids = image_id_map(ds.im_files)
+    assert set(ids.values()) == gt_ids

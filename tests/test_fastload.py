@@ -5,6 +5,7 @@ padding math) and a decode-throughput sanity check. Skips cleanly when the
 toolchain can't build the library.
 """
 import time
+from pathlib import Path
 
 import cv2
 import numpy as np
@@ -96,3 +97,48 @@ def test_throughput_not_pathological(jpeg):
     t_cv = t(cv2_chain)
     print(f"fastload {t_fast*1e3:.2f}ms vs cv2 {t_cv*1e3:.2f}ms")
     assert t_fast < 3 * t_cv
+
+
+@pytest.fixture(scope="module")
+def portrait_jpeg(tmp_path_factory):
+    rng = np.random.default_rng(1)
+    img = cv2.GaussianBlur(
+        rng.integers(0, 255, (640, 480, 3), np.uint8), (15, 15), 5)
+    p = tmp_path_factory.mktemp("flp") / "portrait.jpg"
+    cv2.imwrite(str(p), img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    return str(p)
+
+
+@pytest.mark.parametrize("size", [320, 640, 960])
+def test_portrait_not_scrambled(portrait_jpeg, size):
+    # regression: fl_load packs rows densely (stride w*3); the wrapper used
+    # to slice the square buffer at stride img_size*3, scrambling every
+    # portrait image (w < img_size). Covers downscale, r==1 memcpy, upscale.
+    im, (h0, w0), (h, w) = fastload.load(portrait_jpeg, size, augment=False)
+    assert h0 > w0 and h > w and im.shape == (h, w, 3)
+    ref = cv2.imread(portrait_jpeg)
+    r = size / max(h0, w0)
+    if r == 1.0:
+        np.testing.assert_array_equal(im, ref)
+    else:
+        interp = cv2.INTER_AREA if r < 1 else cv2.INTER_LINEAR
+        ref_r = cv2.resize(ref, (int(w0 * r), int(h0 * r)), interpolation=interp)
+        d = np.abs(im.astype(int) - ref_r.astype(int))
+        assert d.max() <= 3 and d.mean() < 0.2, (d.max(), d.mean())
+
+
+def test_fastload_populates_disk_cache(tmp_path):
+    # regression: --fastload + --cache disk returned before the np.save,
+    # so the npy cache never materialised and every epoch re-decoded
+    from dmayolo_tpu.data.datasets import DetectionDataset, check_dataset
+    from dmayolo_tpu.data.synthetic import generate
+
+    yaml_path = generate(str(tmp_path / "shapes"), n_train=2, n_val=2,
+                         img_size=128)
+    data = check_dataset(yaml_path)
+    ds = DetectionDataset(data["val"], img_size=128, augment=False,
+                          fastload=True, cache_disk=True)
+    im, _, _ = ds.load_image(0)
+    npy = Path(ds.im_files[0]).with_suffix(".npy")
+    assert npy.exists()
+    np.testing.assert_array_equal(np.load(npy), im)

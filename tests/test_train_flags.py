@@ -101,3 +101,15 @@ def test_quad_and_rect_loaders(data_yaml):
     assert not ds_r.mosaic                    # rect disables mosaic (ref)
     plain = next(iter(DataLoader(ds_r, 8, workers=1, shuffle=False)))
     assert plain.images.shape[0] == 8
+
+
+def test_rect_disables_accumulation_grouping(tmp_path, data_yaml):
+    # regression: rect buckets letterbox batches to per-batch shapes, so
+    # accumulation groups (np.concatenate across loader batches) crashed on
+    # mixed shapes mid-epoch; the Trainer must step every batch under rect
+    t = Trainer(dict(CFG), data_yaml, dict(HYP), epochs=1, batch_size=8,
+                img_size=128, out_dir=str(tmp_path / "r"), workers=0,
+                autoanchor=False, patience=100, rect=True)
+    assert t.accumulate == 1
+    # weight decay scaled for the per-batch cadence, not round(64/8)=8
+    assert t.weight_decay == pytest.approx(HYP["weight_decay"] * 8 * 1 / 64)

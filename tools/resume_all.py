@@ -54,15 +54,29 @@ def main(argv=None):
     p.add_argument("root", nargs="?", default="runs/train")
     p.add_argument("--dry-run", action="store_true",
                    help="print the commands without launching")
+    p.add_argument("--parallel", action="store_true",
+                   help="launch all resumes at once (multi-device hosts; "
+                        "default is sequential — one chip serves one run)")
     args = p.parse_args(argv)
 
-    procs = []
+    procs, launched = [], 0
     for last, opt in find_interrupted(Path(args.root)):
         cmd = [sys.executable, str(REPO / "train.py"), "--resume", str(last)]
         print(" ".join(cmd))
-        if not args.dry_run:
-            procs.append(subprocess.Popen(cmd, cwd=REPO))
-    if not procs and not args.dry_run:
+        launched += 1
+        if args.dry_run:
+            continue
+        pr = subprocess.Popen(cmd, cwd=REPO)
+        if args.parallel:
+            procs.append(pr)
+        else:
+            # sequential: the reference scanner pins each relaunch to its
+            # own GPU (aws/resume.py:28-35); with one TPU chip the analog
+            # is one run at a time
+            rc = pr.wait()
+            if rc != 0:
+                print(f"resume of {last} exited rc={rc}")
+    if not launched:
         print("no interrupted runs found")
     for pr in procs:
         pr.wait()
