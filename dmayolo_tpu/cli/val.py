@@ -36,6 +36,9 @@ def build_parser():
     p.add_argument("--rect", action="store_true", help="rectangular val batches (pad 0.5)")
     p.add_argument("--single-cls", action="store_true")
     p.add_argument("--device", type=str, default=None, help="cpu|tpu (default: auto)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="data-parallel eval over N local devices (batches "
+                        "shard on a mesh 'data' axis; batch-size must divide)")
     p.add_argument("--max-nms", type=int, default=30000,
                    help="pre-NMS candidate budget (ref general.py:650)")
     p.add_argument("--nms-backend", type=str, default="scan",
@@ -98,9 +101,16 @@ def main(argv=None):
     else:
         class_map = None
 
+    mesh = None
+    if opt.devices > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=opt.devices)
+
     res = run_validation(
         model, params, stats, split,
         img_size=opt.imgsz, batch_size=opt.batch_size, nc=data["nc"],
+        mesh=mesh,
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres, max_det=opt.max_det,
         max_nms=opt.max_nms, nms_backend=opt.nms_backend,
         dtype=jnp.float32 if opt.fp32 else jnp.bfloat16, fused=fused,

@@ -1,0 +1,75 @@
+"""Data-parallel (mesh) validation: sharding eval batches over the mesh's
+'data' axis must reproduce single-device results bit-for-bit — inference
+has no cross-device math, so only the sharding/layout plumbing can break.
+
+The serving analog of the train-step DP (SURVEY.md §2.6); the reference has
+no multi-device eval at all (val.py is single-GPU).
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from dmayolo_tpu.data.synthetic import generate
+from dmayolo_tpu.eval.validator import run_validation
+from dmayolo_tpu.graph import DetectionModel
+from dmayolo_tpu.parallel.mesh import make_mesh
+
+CFG = {
+    "nc": 3,
+    "depth_multiple": 0.33,
+    "width_multiple": 0.25,
+    "anchors": [
+        [10, 13, 16, 30, 33, 23],
+        [30, 61, 62, 45, 59, 119],
+        [116, 90, 156, 198, 373, 326],
+    ],
+    "backbone": [
+        [-1, 1, "Conv", [64, 6, 2, 2]],
+        [-1, 1, "Conv", [128, 3, 2]],
+        [-1, 2, "C3", [128]],
+        [-1, 1, "Conv", [256, 3, 2]],
+        [-1, 1, "SPPF", [256, 5]],
+    ],
+    "head": [[[2, 3, 4], 1, "Detect", ["nc", "anchors"]]],
+}
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("meshval")
+    data = generate(str(root / "shapes"), n_train=4, n_val=8, img_size=128)
+    from dmayolo_tpu.data.datasets import check_dataset
+
+    d = check_dataset(data)
+    model = DetectionModel(dict(CFG), nc=3)
+    params, stats = model.init_with_priors(jax.random.PRNGKey(0))
+    return model, params, stats, d
+
+
+def _run(model, params, stats, d, mesh):
+    return run_validation(
+        model, params, stats, d["val"], img_size=128, batch_size=8, nc=3,
+        conf_thres=0.01, iou_thres=0.6, max_det=50, mesh=mesh,
+        dtype=jax.numpy.float32,
+    )
+
+
+def test_mesh_val_matches_single_device(setup):
+    model, params, stats, d = setup
+    ref = _run(model, params, stats, d, mesh=None)
+    mesh = make_mesh(n_data=8)
+    got = _run(model, params, stats, d, mesh=mesh)
+    assert got.summary() == ref.summary()
+    if ref.maps is None:
+        assert got.maps is None
+    else:
+        np.testing.assert_allclose(got.maps, ref.maps, rtol=0, atol=0)
+
+
+def test_mesh_val_rejects_indivisible_batch(setup):
+    model, params, stats, d = setup
+    mesh = make_mesh(n_data=8)
+    with pytest.raises(AssertionError, match="divisible"):
+        run_validation(model, params, stats, d["val"], img_size=128,
+                       batch_size=6, nc=3, mesh=mesh)
