@@ -39,6 +39,10 @@ def build_parser():
     p.add_argument("--devices", type=int, default=1,
                    help="data-parallel eval over N local devices (batches "
                         "shard on a mesh 'data' axis; batch-size must divide)")
+    p.add_argument("--spatial-shard", action="store_true",
+                   help="with --devices: also shard image H over a "
+                        "'spatial' mesh axis (large-image eval, e.g. the "
+                        "2016px TTA recipe); uses a (N/2 x 2) mesh")
     p.add_argument("--max-nms", type=int, default=30000,
                    help="pre-NMS candidate budget (ref general.py:650)")
     p.add_argument("--nms-backend", type=str, default="scan",
@@ -105,12 +109,13 @@ def main(argv=None):
     if opt.devices > 1:
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh(n_data=opt.devices)
+        n_sp = 2 if opt.spatial_shard and opt.devices % 2 == 0 else 1
+        mesh = make_mesh(n_data=opt.devices // n_sp, n_spatial=n_sp)
 
     res = run_validation(
         model, params, stats, split,
         img_size=opt.imgsz, batch_size=opt.batch_size, nc=data["nc"],
-        mesh=mesh,
+        mesh=mesh, spatial=opt.spatial_shard,
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres, max_det=opt.max_det,
         max_nms=opt.max_nms, nms_backend=opt.nms_backend,
         dtype=jnp.float32 if opt.fp32 else jnp.bfloat16, fused=fused,

@@ -52,7 +52,7 @@ class ValResult:
 def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
                   dtype=jnp.bfloat16, fused: bool = False, augment: bool = False,
                   max_nms: int = 30000, nms_backend: str = "scan",
-                  mesh=None):
+                  mesh=None, spatial: bool = False):
     """Build the jitted whole-batch forward+decode+NMS (optionally TTA).
 
     Params/stats are jit ARGUMENTS, not closure captures — captured arrays
@@ -91,7 +91,12 @@ def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
+        # optionally also shard image H over 'spatial' (large-image eval,
+        # e.g. the 2016px TTA recipe): GSPMD inserts the conv halo
+        # exchanges; results stay identical to single-device
+        spec = (P("data", "spatial") if spatial and "spatial" in mesh.axis_names
+                and mesh.shape.get("spatial", 1) > 1 else P("data"))
+        data = NamedSharding(mesh, spec)
         jit_infer = jax.jit(_infer, in_shardings=(repl, repl, data))
     else:
         jit_infer = jax.jit(_infer)
@@ -148,6 +153,7 @@ def run_validation(
     save_json: Optional[list] = None,
     class_map=None,
     mesh=None,
+    spatial: bool = False,
 ) -> ValResult:
     """rect=True enables the reference's aspect-sorted rectangular batches
     (val.py:172, pad 0.5) — shapes are bucketed per batch, so XLA compiles
@@ -171,7 +177,8 @@ def run_validation(
                         drop_last=False)
     infer = make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
                           dtype=dtype, fused=fused, augment=augment,
-                          max_nms=max_nms, nms_backend=nms_backend, mesh=mesh)
+                          max_nms=max_nms, nms_backend=nms_backend, mesh=mesh,
+                          spatial=spatial)
     if save_txt_dir is not None:
         save_txt_dir = Path(save_txt_dir)
         save_txt_dir.mkdir(parents=True, exist_ok=True)

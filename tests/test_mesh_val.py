@@ -73,3 +73,23 @@ def test_mesh_val_rejects_indivisible_batch(setup):
     with pytest.raises(AssertionError, match="divisible"):
         run_validation(model, params, stats, d["val"], img_size=128,
                        batch_size=6, nc=3, mesh=mesh)
+
+
+def test_spatial_sharded_infer_matches_single_device(setup):
+    # large-image eval mode: image H additionally sharded over 'spatial' —
+    # GSPMD halo-exchanges the convs; detections must match single-device
+    import jax.numpy as jnp
+
+    from dmayolo_tpu.eval.validator import make_infer_fn
+
+    model, params, stats, d = setup
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 255, (4, 128, 128, 3), dtype=np.uint8))
+    kw = dict(conf_thres=0.01, iou_thres=0.6, max_det=50,
+              dtype=jnp.float32, max_nms=512)
+    ref = make_infer_fn(model, params, stats, **kw)(x)
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    got = make_infer_fn(model, params, stats, **kw, mesh=mesh, spatial=True)(x)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
