@@ -135,12 +135,21 @@ class ComputeLossTAL:
     Weights: box 7.5 / cls 0.5 / dfl 1.5 (tal.py:155-157)."""
 
     def __init__(self, stride: Sequence[float], nc: int, reg_max: int = 16,
-                 hyp: Dict | None = None, alpha: float = 0.5, beta: float = 6.0):
+                 hyp: Dict | None = None,
+                 alpha: float | None = None, beta: float | None = None):
+        import os
+
         self.stride = [float(s) for s in stride]
         self.nc = nc
         self.reg_max = reg_max
         hyp = hyp or {}
         self.cls_pw = hyp.get("cls_pw", 1.0)
+        # assigner alpha/beta: explicit args > YA/YB env (the reference's
+        # tuning surface, tal.py:95-96) > DMA defaults 0.5/6.0
+        if alpha is None:
+            alpha = float(os.getenv("YA", 0.5))
+        if beta is None:
+            beta = float(os.getenv("YB", 6.0))
         self.assigner = TaskAlignedAssigner(topk=10, num_classes=nc, alpha=alpha, beta=beta)
 
     def __call__(self, raw: Sequence[jax.Array], targets: Targets):

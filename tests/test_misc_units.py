@@ -196,3 +196,20 @@ def test_profile_layers_serving_conditions(capsys):
     assert len(res) == len(m.specs)
     assert all(cum >= 0 for _, _, _, cum in res)
     assert "module" in capsys.readouterr().out
+
+
+def test_tal_assigner_ya_yb_env(monkeypatch):
+    # reference tuning surface: YA/YB env override assigner alpha/beta
+    # (ref utils/tal.py:95-96); explicit args still win
+    from dmayolo_tpu.train.tal import ComputeLossTAL
+
+    monkeypatch.setenv("YA", "0.7")
+    monkeypatch.setenv("YB", "4.0")
+    l1 = ComputeLossTAL([8.0, 16.0, 32.0], nc=3)
+    assert (l1.assigner.alpha, l1.assigner.beta) == (0.7, 4.0)
+    l2 = ComputeLossTAL([8.0, 16.0, 32.0], nc=3, alpha=0.25, beta=8.0)
+    assert (l2.assigner.alpha, l2.assigner.beta) == (0.25, 8.0)
+    monkeypatch.delenv("YA")
+    monkeypatch.delenv("YB")
+    l3 = ComputeLossTAL([8.0, 16.0, 32.0], nc=3)
+    assert (l3.assigner.alpha, l3.assigner.beta) == (0.5, 6.0)
