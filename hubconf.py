@@ -34,6 +34,26 @@ def yolov5x(nc=80, device=None):
     return _create("yolov5x.yaml", nc, device)
 
 
+def yolov5n6(nc=80, device=None):
+    return _create("yolov5n6.yaml", nc, device)
+
+
+def yolov5s6(nc=80, device=None):
+    return _create("yolov5s6.yaml", nc, device)
+
+
+def yolov5m6(nc=80, device=None):
+    return _create("yolov5m6.yaml", nc, device)
+
+
+def yolov5l6(nc=80, device=None):
+    return _create("yolov5l6.yaml", nc, device)
+
+
+def yolov5x6(nc=80, device=None):
+    return _create("yolov5x6.yaml", nc, device)
+
+
 def dma_yolo(nc=10, device=None):
     """The DMA-YOLO VisDrone flagship (C3CA + SCConv + SPPFCSPC + BiFPN)."""
     return _create("ablation-ca-scconv-sppfcspc.yaml", nc, device)
