@@ -29,7 +29,8 @@ def build_parser():
     p.add_argument("--weights", type=str, required=True)
     p.add_argument("--cfg", type=str, default=None)
     p.add_argument("--source", type=str, required=True, help="image/dir/video")
-    p.add_argument("--imgsz", "--img", type=int, default=640, dest="imgsz")
+    p.add_argument("--imgsz", "--img", "--img-size", type=int, default=640,
+                   dest="imgsz")
     p.add_argument("--conf-thres", type=float, default=0.25)
     p.add_argument("--iou-thres", type=float, default=0.45)
     p.add_argument("--max-det", type=int, default=1000)
@@ -47,6 +48,18 @@ def build_parser():
     p.add_argument("--name", type=str, default="exp")
     p.add_argument("--exist-ok", action="store_true")
     p.add_argument("--line-thickness", type=int, default=3)
+    p.add_argument("--hide-labels", action="store_true",
+                   help="draw boxes without class labels")
+    p.add_argument("--hide-conf", action="store_true",
+                   help="draw labels without confidences")
+    p.add_argument("--view-img", action="store_true",
+                   help="show annotated results in a window (needs a display)")
+    p.add_argument("--update", action="store_true",
+                   help="strip optimizer state from the weights file after "
+                        "the run (ref detect.py --update / strip_optimizer)")
+    p.add_argument("--half", action="store_true",
+                   help="accepted for parity; compute is bf16 by default on "
+                        "TPU (reference --half = fp16)")
     p.add_argument("--device", type=str, default=None, help="cpu|tpu (default: auto)")
     return p
 
@@ -118,11 +131,22 @@ def main(argv=None):
     def infer(x):  # params as jit args, not baked constants
         return _infer(params, stats, x)
 
+    def _maybe_update():
+        if getattr(opt, "update", False):  # ref detect.py --update
+            from ..utils.checkpoint import strip_checkpoint
+
+            strip_checkpoint(opt.weights)
+            print(f"--update: stripped optimizer state from {opt.weights}")
+
     if "," in str(opt.source) or str(opt.source).endswith(".streams"):
-        return _run_streams(opt, infer, names, out)
+        res = _run_streams(opt, infer, names, out)
+        _maybe_update()
+        return res
     src = Path(opt.source)
     if src.suffix.lower() in VID_EXTS or str(opt.source).isdigit() or "://" in str(opt.source):
-        return _run_video(opt, infer, names, out)
+        res = _run_video(opt, infer, names, out)
+        _maybe_update()
+        return res
     files = _gather_sources(src)
     assert files, f"no inputs in {opt.source}"
 
@@ -163,14 +187,24 @@ def main(argv=None):
             for x1, y1, x2, y2, conf, cls in d:
                 c = int(cls)
                 label_summary[names[c]] = label_summary.get(names[c], 0) + 1
-                if not opt.nosave:
+                if not opt.nosave or opt.view_img:
                     color = PALETTE[c % len(PALETTE)]
                     cv2.rectangle(im0, (int(x1), int(y1)), (int(x2), int(y2)),
                                   color, opt.line_thickness)
-                    cv2.putText(im0, f"{names[c]} {conf:.2f}", (int(x1), int(y1) - 4),
-                                cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2)
+                    if not getattr(opt, "hide_labels", False):
+                        txt = (names[c] if getattr(opt, "hide_conf", False)
+                               else f"{names[c]} {conf:.2f}")
+                        cv2.putText(im0, txt, (int(x1), int(y1) - 4),
+                                    cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2)
             if not opt.nosave:
                 cv2.imwrite(str(out / f.name), im0)
+            if getattr(opt, "view_img", False):
+                try:
+                    cv2.imshow("dmayolo", im0)
+                    cv2.waitKey(1)
+                except Exception:  # headless: cv2.error or Qt plugin failure
+                    print("--view-img: no display available, skipping")
+                    opt.view_img = False
             if opt.save_crop:
                 for j, (x1, y1, x2, y2, conf, cls) in enumerate(d):
                     crop = imc[int(max(y1, 0)):int(y2), int(max(x1, 0)):int(x2)]
@@ -190,6 +224,7 @@ def main(argv=None):
 
     dt = time.perf_counter() - t0
     print(f"done: {n_done} images in {dt:.2f}s ({1000*dt/max(n_done,1):.1f} ms/img) -> {out}")
+    _maybe_update()
     return out
 
 

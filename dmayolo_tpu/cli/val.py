@@ -17,7 +17,8 @@ def build_parser():
     p.add_argument("--cfg", type=str, default=None, help="model yaml (if not in ckpt meta)")
     p.add_argument("--data", type=str, required=True)
     p.add_argument("--batch-size", type=int, default=32)
-    p.add_argument("--imgsz", "--img", type=int, default=640, dest="imgsz")
+    p.add_argument("--imgsz", "--img", "--img-size", type=int, default=640,
+                   dest="imgsz")
     p.add_argument("--conf-thres", type=float, default=0.001)
     p.add_argument("--iou-thres", type=float, default=0.6)
     p.add_argument("--max-det", type=int, default=300)
@@ -25,6 +26,16 @@ def build_parser():
     p.add_argument("--augment", action="store_true", help="TTA")
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--save-conf", action="store_true")
+    p.add_argument("--save-hybrid", action="store_true",
+                   help="dataset labels join predictions before NMS as "
+                        "conf-1.0 candidates; with --save-txt this writes "
+                        "autolabelling hybrids (ref val.py:228-233)")
+    p.add_argument("--verbose", action="store_true",
+                   help="report mAP by class (always on when nc < 50, "
+                        "matching the reference val.py:302)")
+    p.add_argument("--half", action="store_true",
+                   help="accepted for parity; compute is bf16 by default "
+                        "(reference --half = fp16); see --fp32")
     p.add_argument("--save-json", action="store_true",
                    help="write COCO-format predictions json (+COCOeval when "
                         "pycocotools is importable; ref val.py:270-341)")
@@ -116,6 +127,7 @@ def main(argv=None):
         model, params, stats, split,
         img_size=opt.imgsz, batch_size=opt.batch_size, nc=data["nc"],
         mesh=mesh, spatial=opt.spatial_shard,
+        save_hybrid=opt.save_hybrid,
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres, max_det=opt.max_det,
         max_nms=opt.max_nms, nms_backend=opt.nms_backend,
         dtype=jnp.float32 if opt.fp32 else jnp.bfloat16, fused=fused,

@@ -52,7 +52,7 @@ class ValResult:
 def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
                   dtype=jnp.bfloat16, fused: bool = False, augment: bool = False,
                   max_nms: int = 30000, nms_backend: str = "scan",
-                  mesh=None, spatial: bool = False):
+                  mesh=None, spatial: bool = False, hybrid: bool = False):
     """Build the jitted whole-batch forward+decode+NMS (optionally TTA).
 
     Params/stats are jit ARGUMENTS, not closure captures — captured arrays
@@ -66,7 +66,7 @@ def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
     single-device).
     """
 
-    def _infer(p, s, x):
+    def _infer(p, s, x, *tgt):
         xf = x.astype(dtype) / 255.0
         if augment:
             dec = forward_augment(model, p, s, xf, dtype=dtype, fused=fused)
@@ -77,6 +77,20 @@ def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
             dec = jnp.concatenate(
                 [dec[..., :4], jnp.ones_like(dec[..., :1]), dec[..., 4:]], axis=-1
             )
+        if hybrid:
+            # --save-hybrid: dataset labels join the predictions before NMS
+            # as conf-1.0 candidates (ref val.py:228-233 autolabelling).
+            # tgt: (cls (B,M), box xywhn (B,M,4), mask (B,M))
+            t_cls, t_box, t_mask = tgt
+            B, M = t_cls.shape
+            h, w = x.shape[1], x.shape[2]
+            scale = jnp.asarray([w, h, w, h], dec.dtype)
+            boxes = t_box.astype(dec.dtype) * scale
+            obj = t_mask.astype(dec.dtype)[..., None]
+            onehot = (jax.nn.one_hot(t_cls.astype(jnp.int32), model.nc,
+                                     dtype=dec.dtype) * obj)
+            rows = jnp.concatenate([boxes, obj, onehot], axis=-1)  # (B,M,5+nc)
+            dec = jnp.concatenate([dec, rows], axis=1)
         return batched_nms(
             dec,
             conf_thres=conf_thres,
@@ -97,10 +111,11 @@ def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
         spec = (P("data", "spatial") if spatial and "spatial" in mesh.axis_names
                 and mesh.shape.get("spatial", 1) > 1 else P("data"))
         data = NamedSharding(mesh, spec)
-        jit_infer = jax.jit(_infer, in_shardings=(repl, repl, data))
+        tgt_sh = (NamedSharding(mesh, P("data")),) * 3 if hybrid else ()
+        jit_infer = jax.jit(_infer, in_shardings=(repl, repl, data) + tgt_sh)
     else:
         jit_infer = jax.jit(_infer)
-    return lambda x: jit_infer(params, stats, x)
+    return lambda x, *tgt: jit_infer(params, stats, x, *tgt)
 
 
 def _scale_to_native(boxes: np.ndarray, lb_shape, native_shape):
@@ -154,6 +169,7 @@ def run_validation(
     class_map=None,
     mesh=None,
     spatial: bool = False,
+    save_hybrid: bool = False,
 ) -> ValResult:
     """rect=True enables the reference's aspect-sorted rectangular batches
     (val.py:172, pad 0.5) — shapes are bucketed per batch, so XLA compiles
@@ -178,7 +194,7 @@ def run_validation(
     infer = make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
                           dtype=dtype, fused=fused, augment=augment,
                           max_nms=max_nms, nms_backend=nms_backend, mesh=mesh,
-                          spatial=spatial)
+                          spatial=spatial, hybrid=save_hybrid)
     if save_txt_dir is not None:
         save_txt_dir = Path(save_txt_dir)
         save_txt_dir.mkdir(parents=True, exist_ok=True)
@@ -204,7 +220,19 @@ def run_validation(
             pad = np.zeros((bs - n,) + imgs.shape[1:], imgs.dtype)
             imgs = np.concatenate([imgs, pad])
         t0 = time.perf_counter()
-        dets, valid = infer(jnp.asarray(imgs))
+        if save_hybrid:
+            def _pad0(a):
+                a = np.asarray(a)
+                if a.shape[0] < bs:
+                    a = np.concatenate(
+                        [a, np.zeros((bs - a.shape[0],) + a.shape[1:], a.dtype)])
+                return jnp.asarray(a)
+
+            dets, valid = infer(jnp.asarray(imgs), _pad0(batch.targets.cls),
+                                _pad0(batch.targets.box),
+                                _pad0(batch.targets.mask))
+        else:
+            dets, valid = infer(jnp.asarray(imgs))
         dets = np.asarray(jax.block_until_ready(dets))
         valid = np.asarray(valid)
         if first:  # first batch carries XLA compile time

@@ -93,3 +93,32 @@ def test_spatial_sharded_infer_matches_single_device(setup):
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-5)
+
+
+def test_save_hybrid_injects_labels_as_conf1(setup):
+    # --save-hybrid: GT labels join predictions before NMS with conf 1.0
+    # (ref val.py:228-233) — every GT box must survive into the output
+    import jax.numpy as jnp
+
+    from dmayolo_tpu.eval.validator import make_infer_fn
+
+    model, params, stats, d = setup
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 255, (2, 128, 128, 3), dtype=np.uint8))
+    cls = jnp.asarray([[1.0, 2.0], [0.0, 0.0]])
+    box = jnp.asarray([[[0.25, 0.25, 0.2, 0.2], [0.7, 0.7, 0.2, 0.2]],
+                       [[0.5, 0.5, 0.3, 0.3], [0.0, 0.0, 0.0, 0.0]]])
+    mask = jnp.asarray([[True, True], [True, False]])
+    kw = dict(conf_thres=0.25, iou_thres=0.6, max_det=20,
+              dtype=jnp.float32, max_nms=512)
+    infer = make_infer_fn(model, params, stats, **kw, hybrid=True)
+    dets, valid = infer(x, cls, box, mask)
+    dets, valid = np.asarray(dets), np.asarray(valid)
+    # image 0: boxes at (32,32)+-12.8 and (89.6,89.6) with conf 1.0, cls 1/2
+    d0 = dets[0][valid[0]]
+    ones = d0[d0[:, 4] >= 0.999]
+    assert len(ones) == 2 and sorted(ones[:, 5]) == [1.0, 2.0]
+    np.testing.assert_allclose(sorted(ones[:, 0]), [19.2, 76.8], atol=1e-3)
+    d1 = dets[1][valid[1]]
+    ones1 = d1[d1[:, 4] >= 0.999]
+    assert len(ones1) == 1 and ones1[0, 5] == 0.0  # padded row dropped
