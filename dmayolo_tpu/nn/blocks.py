@@ -165,6 +165,11 @@ class C3STR(C3):
 
     def make_inner(self, c1, c2, n, shortcut, g, e):
         c_ = int(c2 * e)
+        if c_ < 32:  # ref uses c_//32 heads and crashes identically at 0
+            raise ValueError(
+                f"C3STR needs >= 32 hidden channels for c_//32 attention "
+                f"heads, got c_={c_} (c2={c2}, e={e}) — width_multiple too "
+                f"small for this config")
         return SwinTransformerBlock(c_, c_, c_ // 32, n)
 
 

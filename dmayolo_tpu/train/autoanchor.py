@@ -13,8 +13,11 @@ import numpy as np
 
 def _metric(k, wh):
     """Best-ratio metric per box: (best over anchors of min(r, 1/r).min(axis))."""
-    r = wh[:, None] / k[None]
-    x = np.minimum(r, 1 / r).min(2)  # (n, k)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # zero (placeholder) anchors give inf ratios -> metric 0, handled by
+        # the degenerate-anchor path in maybe_autoanchor
+        r = wh[:, None] / k[None]
+        x = np.minimum(r, 1 / r).min(2)  # (n, k)
     best = x.max(1)
     return x, best
 
@@ -100,17 +103,24 @@ def maybe_autoanchor(model, dataset, img_size: int, thr: float = 4.0,
     bpr, aat = check_anchors(anchors_px, shapes, dataset.labels, img_size, thr)
     if verbose:
         print(f"autoanchor: BPR={bpr:.4f}, {aat:.2f} anchors/target")
-    if bpr >= bpr_thresh:
+    # `anchors: <int>` configs carry [0,1,2,..] placeholders (ref yolo.py:365)
+    # whose zero row can make the ratio metric report a bogus-high BPR;
+    # degenerate anchors always need recomputing, whatever BPR says
+    degenerate = float(np.min(anchors_px)) <= 0
+    if bpr >= bpr_thresh and not degenerate:
         return bpr
     n = head.nl * head.na
     new = kmean_anchors(shapes, dataset.labels, n=n, img_size=img_size, thr=thr,
                         verbose=verbose)
     new_bpr, _ = check_anchors(new.reshape(head.nl, head.na, 2), shapes,
                                dataset.labels, img_size, thr)
-    if new_bpr > bpr:  # ref: autoanchor.py:49-55
+    # ref: autoanchor.py:49-55 keeps the better set; a degenerate original
+    # has no valid BPR to defend, so kmeans always wins there
+    if new_bpr > bpr or degenerate:
         head.anchors = (
             new.reshape(head.nl, head.na, 2) / model.stride.reshape(-1, 1, 1)
         ).astype(np.float32)
         if verbose:
             print(f"autoanchor: updated anchors (BPR {new_bpr:.4f})")
+        return new_bpr
     return max(bpr, new_bpr)

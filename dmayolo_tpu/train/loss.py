@@ -219,7 +219,10 @@ class ComputeLoss:
         gain = jnp.asarray([nx, ny, nx, ny], jnp.float32)
         box = targets.box * gain  # (B, M, 4) grid units
         gxy = box[..., 0:2]
-        gwh = box[..., 2:4]
+        # padded target rows carry zeros; give them unit wh so masked-out
+        # candidates stay finite inside bbox_iou (0-width against 0-width
+        # hits 0/0 in the SIoU shape cost, and NaN*0 poisons the masked sum)
+        gwh = jnp.where(targets.mask[..., None], box[..., 2:4], 1.0)
 
         # anchor ratio filter (B, M, na)
         r = gwh[:, :, None, :] / anchors[None, None]

@@ -205,6 +205,18 @@ class Trainer:
 
             maybe_autoanchor(self.model, self.train_ds, img_size,
                              thr=h.get("anchor_t", 4.0))
+        if assignment == "anchor" and isinstance(self.model.head, Detect):
+            # configs with `anchors: <int>` carry [0,1,2,...] PLACEHOLDER
+            # anchors (ref yolo.py:365) that only autoanchor replaces; a
+            # zero-sized anchor makes SIoU NaN on the first step in the
+            # reference too — fail loudly instead
+            a = np.asarray(self.model.head.anchors)
+            if a.size and float(a.min()) <= 0:
+                raise ValueError(
+                    "model has placeholder/degenerate anchors (min size 0) "
+                    "— this config declares `anchors: <int>` and needs "
+                    "autoanchor to generate real ones; drop --noautoanchor "
+                    "or specify anchor pairs in the yaml")
 
         # loss
         if assignment == "tal":
@@ -233,7 +245,8 @@ class Trainer:
         # donation is disabled everywhere: XLA CPU deadlocks on donated
         # buffers feeding collectives, and the axon TPU backend fails with
         # INVALID_ARGUMENT when the train step donates its state (verified
-        # by per-case bisect). Revisit when the backend matures.
+        # by per-case bisect; retested 2026-08-17, still fails —
+        # experiments/exp_donate.py). Revisit when the backend matures.
         self.jstep = jit_train_step(step, mesh=self.mesh, spatial=spatial, donate=False)
 
         # init / resume

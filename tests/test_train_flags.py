@@ -113,3 +113,30 @@ def test_rect_disables_accumulation_grouping(tmp_path, data_yaml):
     assert t.accumulate == 1
     # weight decay scaled for the per-batch cadence, not round(64/8)=8
     assert t.weight_decay == pytest.approx(HYP["weight_decay"] * 8 * 1 / 64)
+
+
+def test_placeholder_int_anchors_require_autoanchor(tmp_path, data_yaml):
+    # configs with `anchors: <int>` (e.g. yolov5l-xs-tph) carry [0,1,2,..]
+    # placeholder anchors (ref yolo.py:365); training them with autoanchor
+    # disabled NaN'd on the first step (zero-width anchor -> 0/0 in SIoU).
+    # The Trainer must now refuse loudly instead.
+    cfg = dict(CFG)
+    cfg["anchors"] = 3
+    with pytest.raises(ValueError, match="placeholder"):
+        Trainer(cfg, data_yaml, dict(HYP), epochs=1, batch_size=8,
+                img_size=128, out_dir=str(tmp_path / "pa"), workers=0,
+                autoanchor=False, patience=100)
+
+
+def test_autoanchor_replaces_placeholder_int_anchors(tmp_path, data_yaml):
+    # `anchors: 3` placeholders include a zero anchor; autoanchor must
+    # recompute regardless of the (bogus) BPR and write real anchors back
+    import numpy as np
+
+    cfg = dict(CFG)
+    cfg["anchors"] = 3
+    t = Trainer(cfg, data_yaml, dict(HYP), epochs=1, batch_size=8,
+                img_size=128, out_dir=str(tmp_path / "aa"), workers=0,
+                autoanchor=True, patience=100)
+    a = np.asarray(t.model.head.anchors)
+    assert float(a.min()) > 0, a
