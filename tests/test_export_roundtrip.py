@@ -65,3 +65,28 @@ def test_stablehlo_roundtrip(tmp_path):
     out = restored.call(np.zeros((1, 128, 128, 3), np.uint8))
     ref_out = fn(jnp.zeros((1, 128, 128, 3), jnp.uint8))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
+
+
+def test_stablehlo_roundtrip_tdetect(tmp_path):
+    # the anchor-free head family must export/restore identically too
+    from jax import export as jexport
+
+    from dmayolo_tpu.nn.fuse import fuse_params
+    from tests.test_train_step import TINY_CFG
+
+    cfg = {**TINY_CFG, "head": [[[4, 6, 7], 1, "TDetect", ["nc"]]]}
+    model = DetectionModel(cfg)
+    params, stats = model.init_with_priors(jax.random.PRNGKey(0))
+    fp, fs = fuse_params(model, params, stats)
+
+    def fn(x):
+        return model.decode(
+            model.apply(fp, fs, x.astype(jnp.float32) / 255.0, fused=True)
+        )
+
+    spec = jax.ShapeDtypeStruct((1, 128, 128, 3), jnp.uint8)
+    exported = jexport.export(jax.jit(fn))(spec)
+    restored = jexport.deserialize(exported.serialize())
+    out = restored.call(np.zeros((1, 128, 128, 3), np.uint8))
+    ref_out = fn(jnp.zeros((1, 128, 128, 3), jnp.uint8))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
