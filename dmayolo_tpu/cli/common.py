@@ -57,6 +57,8 @@ def load_model_from_checkpoint(weights, cfg=None, nc=None):
     from ..graph import DetectionModel
     from ..utils.checkpoint import load_checkpoint
 
+    if weights and str(weights).endswith(".pt"):
+        return _load_torch_pt_checkpoint(weights, cfg, nc)
     if weights:
         trees, meta = load_checkpoint(weights)
         cfg = cfg or meta.get("cfg")
@@ -76,6 +78,32 @@ def load_model_from_checkpoint(weights, cfg=None, nc=None):
     assert cfg, "need --weights or --cfg"
     model = DetectionModel(resolve_config(cfg, "models"), nc=nc)
     params, stats = model.init_with_priors(jax.random.PRNGKey(0))
+    return model, params, stats
+
+
+def _load_torch_pt_checkpoint(weights, cfg=None, nc=None):
+    """Reference interop: every CLI accepts the torch reference's own .pt
+    checkpoints directly (ref format train.py:515-529) — the model yaml,
+    nc and trained (possibly autoanchor-evolved) anchors travel inside the
+    pickle, so `val.py/detect.py --weights best.pt` is a drop-in migration
+    path. Works without the reference's class definitions installed."""
+    import numpy as np
+
+    from ..graph import DetectionModel
+    from ..utils.torch_import import import_torch_state, load_torch_pt
+
+    sd, pt_cfg, info = load_torch_pt(weights)
+    cfg = cfg or pt_cfg
+    if cfg is None:
+        raise ValueError(f"{weights} carries no model yaml — pass --cfg")
+    if not isinstance(cfg, dict):
+        cfg = resolve_config(cfg, "models")
+    model = DetectionModel(cfg, nc=nc or info.get("nc"))
+    params, stats, _ = import_torch_state(model, sd)
+    a = info.get("anchors")
+    cur = getattr(model.head, "anchors", None)  # TDetect is anchor-free
+    if a is not None and cur is not None and tuple(a.shape) == tuple(np.shape(cur)):
+        model.head.anchors = np.asarray(a, np.float32)
     return model, params, stats
 
 

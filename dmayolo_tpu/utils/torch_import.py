@@ -138,3 +138,84 @@ def load_reference_checkpoint(path: str, model, ema: bool = True):
     net = ckpt.get("ema") or ckpt["model"] if isinstance(ckpt, dict) else ckpt
     net = net.float()
     return import_torch_state(model, net.state_dict())
+
+
+def _stub_pickle_module():
+    """A pickle module whose Unpickler substitutes a generic stub class for
+    any class whose defining module is not importable here (the reference's
+    `models.*` / `utils.*` packages are not installed alongside this
+    framework). nn.Module pickling stores everything in the instance
+    __dict__ (_parameters / _buffers / _modules), so the weights are fully
+    recoverable from stubs without the original class definitions."""
+    import pickle
+    import types
+
+    class _StubBase:
+        pass
+
+    class Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return type(name, (_StubBase,), {"__module__": module})
+
+    mod = types.ModuleType("dmayolo_pt_stub_pickle")
+    mod.Unpickler = Unpickler
+    mod.load = lambda f, **kw: Unpickler(f, **kw).load()
+    return mod
+
+
+def _walk_module_tree(obj, prefix: str, out: Dict) -> None:
+    """Rebuild state_dict() from a (possibly stub-classed) module tree:
+    persistent buffers + parameters, depth-first over _modules."""
+    d = getattr(obj, "__dict__", None)
+    if not isinstance(d, dict):
+        return
+    nonpersist = d.get("_non_persistent_buffers_set") or set()
+    for name, p in (d.get("_parameters") or {}).items():
+        if p is not None:
+            out[prefix + name] = p
+    for name, b in (d.get("_buffers") or {}).items():
+        if b is not None and name not in nonpersist:
+            out[prefix + name] = b
+    for name, m in (d.get("_modules") or {}).items():
+        if m is not None:
+            _walk_module_tree(m, prefix + name + ".", out)
+
+
+def load_torch_pt(path, ema: bool = True):
+    """Read a reference .pt checkpoint ({'model': module, 'ema': ...},
+    ref train.py:515-529) WITHOUT requiring the reference's class
+    definitions on sys.path — unimportable classes are stubbed and the
+    weights recovered by walking the pickled module tree. Prefers EMA like
+    reference attempt_load (models/experimental.py:113-153).
+
+    Returns (state_dict {torch key: tensor}, cfg dict | None,
+    info {'nc', 'names', 'anchors'}). `anchors` is the trained Detect
+    buffer (stride units, possibly autoanchor-evolved — it must override
+    the yaml's anchors to decode correctly)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False,
+                      pickle_module=_stub_pickle_module())
+    net = ckpt
+    if isinstance(ckpt, dict):
+        net = (ckpt.get("ema") if ema else None) or ckpt.get("model") or ckpt
+    sd: Dict = {}
+    _walk_module_tree(net, "", sd)
+    if not sd and isinstance(net, dict):  # a bare state_dict file
+        sd = dict(net)
+    d = getattr(net, "__dict__", {})
+    cfg = d.get("yaml")
+    anchors = None
+    for k, v in sd.items():
+        if k.endswith(".anchors"):
+            a = v.detach().cpu().float().numpy() if hasattr(v, "detach") else v
+            anchors = np.asarray(a, np.float32)
+    info = {
+        "nc": cfg.get("nc") if isinstance(cfg, dict) else None,
+        "names": d.get("names"),
+        "anchors": anchors,
+    }
+    return sd, cfg, info
