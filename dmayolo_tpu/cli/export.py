@@ -8,7 +8,10 @@ formats here:
     (inverse of utils/torch_import.py) so reference-tooling users can load
     our trained weights
   * npz       — stripped inference checkpoint (EMA, fused)
-TF/TFLite are gated on tensorflow being installed (it is not, here).
+  * saved_model / tflite — jax2tf conversion of the same fused program
+    (reference export.py's TF path re-implements the zoo in Keras via
+    models/tf.py; ours converts the jax program itself, gated on
+    tensorflow being importable)
 """
 from __future__ import annotations
 
@@ -25,7 +28,8 @@ def build_parser():
     p.add_argument("--imgsz", "--img", type=int, default=640, dest="imgsz")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--include", nargs="+", default=["stablehlo"],
-                   choices=["stablehlo", "torch", "npz", "tf"])
+                   choices=["stablehlo", "torch", "npz", "tf", "saved_model",
+                            "tflite"])
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--device", type=str, default=None, help="cpu|tpu (default: auto)")
     return p
@@ -67,8 +71,15 @@ def main(argv=None):
     opt.imgsz = check_img_size(opt.imgsz, int(model.stride.max()))
     from ..utils.checkpoint import load_checkpoint as _lc
 
-    _, src_meta = _lc(opt.weights)
-    cfg_meta = opt.cfg or src_meta.get("cfg")
+    src_meta = {}
+    if not str(opt.weights).endswith(".pt"):
+        _, src_meta = _lc(opt.weights)
+    cfg_meta = opt.cfg or src_meta.get("cfg") or model.yaml
+    if cfg_meta is model.yaml and hasattr(model.head, "anchors"):
+        # keep the live (possibly autoanchor-evolved) anchors, in px units
+        cfg_meta = dict(cfg_meta)
+        anc_px = np.asarray(model.head.anchors) * model.stride.reshape(-1, 1, 1)
+        cfg_meta["anchors"] = anc_px.reshape(len(model.stride), -1).tolist()
     base = Path(opt.weights).with_suffix("")
     dtype = jnp.float32 if opt.fp32 else jnp.bfloat16
 
@@ -101,15 +112,45 @@ def main(argv=None):
         out.write_bytes(exported.serialize())
         outputs.append(out)
 
-    if "tf" in opt.include:
+    want_sm = {"tf", "saved_model"} & set(opt.include)
+    want_tfl = "tflite" in opt.include
+    if want_sm or want_tfl:
         try:
-            import tensorflow  # noqa: F401
+            import tensorflow as tf
         except ImportError:
-            print("tensorflow not installed — skipping tf export")
+            print("tensorflow not installed — skipping tf/saved_model/tflite")
         else:
-            from jax.experimental import jax2tf  # pragma: no cover
+            # reference export.py TF surface (export.py:123+ / models/tf.py):
+            # theirs re-implements the module zoo in Keras; ours converts the
+            # SAME jax program via jax2tf, so numerics are the jax numerics.
+            from jax.experimental import jax2tf
 
-            print("tf export not wired yet")
+            fp, fs = fuse_params(model, params, stats)
+
+            def fn(x):
+                return model.decode(model.apply(fp, fs, x.astype(dtype) / 255.0,
+                                                dtype=dtype, fused=True))
+
+            mod = tf.Module()
+            mod.f = tf.function(
+                jax2tf.convert(fn, with_gradient=False), autograph=False,
+                input_signature=[tf.TensorSpec(
+                    (opt.batch_size, opt.imgsz, opt.imgsz, 3), tf.uint8)])
+            if want_sm:
+                out = base.parent / (base.name + "_saved_model")
+                tf.saved_model.save(mod, str(out))
+                outputs.append(out)
+            if want_tfl:
+                conv = tf.lite.TFLiteConverter.from_concrete_functions(
+                    [mod.f.get_concrete_function()], mod)
+                # the jax program lands as one XlaCallModule op -> flex
+                conv.target_spec.supported_ops = [
+                    tf.lite.OpsSet.TFLITE_BUILTINS,
+                    tf.lite.OpsSet.SELECT_TF_OPS,
+                ]
+                out = base.parent / (base.name + ".tflite")
+                out.write_bytes(conv.convert())
+                outputs.append(out)
 
     for o in outputs:
         print(f"exported: {o}")

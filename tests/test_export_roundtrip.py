@@ -90,3 +90,47 @@ def test_stablehlo_roundtrip_tdetect(tmp_path):
     out = restored.call(np.zeros((1, 128, 128, 3), np.uint8))
     ref_out = fn(jnp.zeros((1, 128, 128, 3), jnp.uint8))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
+
+
+def test_saved_model_and_tflite_roundtrip(tmp_path):
+    """The export CLI's TF surface (jax2tf): SavedModel must reproduce the
+    jax program exactly; TFLite (flex-delegated XlaCallModule) within loose
+    float tolerance."""
+    tf = pytest.importorskip("tensorflow")
+
+    from dmayolo_tpu.cli.export import main as export_main
+    from dmayolo_tpu.nn.fuse import fuse_params
+    from dmayolo_tpu.utils.checkpoint import save_checkpoint
+    from tests.test_train_step import TINY_CFG
+
+    model = DetectionModel(TINY_CFG)
+    params, stats = model.init_with_priors(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "w.npz"
+    save_checkpoint(ckpt, params=params, stats=stats,
+                    meta={"cfg": TINY_CFG, "nc": TINY_CFG["nc"]})
+    outs = export_main(["--weights", str(ckpt), "--imgsz", "128",
+                        "--include", "saved_model", "tflite",
+                        "--fp32", "--device", "cpu"])
+    sm = [o for o in outs if str(o).endswith("_saved_model")][0]
+    tfl = [o for o in outs if str(o).endswith(".tflite")][0]
+
+    fp, fs = fuse_params(model, params, stats)
+
+    def fn(x):
+        return model.decode(
+            model.apply(fp, fs, x.astype(jnp.float32) / 255.0, fused=True))
+
+    x = np.random.default_rng(0).integers(0, 255, (1, 128, 128, 3),
+                                          dtype=np.uint8)
+    ref = np.asarray(fn(jnp.asarray(x)))
+
+    loaded = tf.saved_model.load(str(sm))
+    out = np.asarray(loaded.f(tf.constant(x)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    interp = tf.lite.Interpreter(model_path=str(tfl))
+    interp.allocate_tensors()
+    interp.set_tensor(interp.get_input_details()[0]["index"], x)
+    interp.invoke()
+    out2 = interp.get_tensor(interp.get_output_details()[0]["index"])
+    np.testing.assert_allclose(out2, ref, atol=5e-3, rtol=1e-2)
