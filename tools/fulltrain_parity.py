@@ -1,0 +1,178 @@
+"""Full-training parity: train the torch reference AND dmayolo_tpu on the
+SAME offline dataset with the SAME recipe, end to end, and compare mAP.
+
+This is parity link 5 (docs/PARITY.md): per-link golden tests and the
+10-step trajectory parity test exist in tests/; this tool shows both
+frameworks *converging to the same place* through their full drivers
+(mosaic, autoanchor, warmup, one-cycle LR, EMA, epoch val, checkpointing).
+
+Zero-egress env => the dataset is the synthetic shapes fixture (the
+offline coco128 stand-in), 192 train / 48 val at 320px, trained at 256px,
+yolov5n from scratch with the reference's own hyp.scratch.yaml.
+
+Phases (run separately; the reference side is hours of CPU):
+  gen         write the dataset to /tmp/shapes_parity/data
+  ref [N]     train the reference in-process (CPU) via its own train.py
+              main(); `ref resume` continues an interrupted run
+  tpu [N]     train dmayolo_tpu via its own CLI (TPU if available)
+  report      parse both results.csv, cross-eval the ref best.pt under OUR
+              val CLI (val-protocol parity on genuinely trained weights),
+              print JSON
+
+Reference surfaces exercised: train.py:67-835 (driver), val.py:88-353
+(epoch evaluator), utils/autoanchor.py, utils/datasets.py mosaic pipeline.
+Measured results from the bundled run are recorded in docs/PARITY.md.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = "/tmp/shapes_parity"
+DATA = f"{ROOT}/data"
+YAML = f"{DATA}/shapes.yaml"
+EPOCHS = 40
+IMG = 256
+BS = 16
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def gen():
+    sys.path.insert(0, REPO)
+    from dmayolo_tpu.data.synthetic import generate
+
+    path = generate(DATA, n_train=192, n_val=48, img_size=320, seed=7)
+    print("dataset:", path)
+
+
+def ref(epochs=EPOCHS, resume=False):
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from ref_compat import setup_reference_imports
+
+    assert setup_reference_imports()
+    import numpy as np
+
+    # the reference predates numpy 1.24's alias removal
+    for alias, py in (("int", int), ("float", float), ("bool", bool),
+                      ("object", object)):
+        if not hasattr(np, alias):
+            setattr(np, alias, py)
+
+    import torch
+
+    # the reference predates torch 2.6's weights_only=True default
+    _orig_load = torch.load
+
+    def _load(*a, **k):
+        k.setdefault("weights_only", False)
+        return _orig_load(*a, **k)
+
+    torch.load = _load
+
+    from PIL import ImageFont
+
+    # Pillow >= 10 removed FreeTypeFont.getsize (used by the reference's
+    # Annotator); emulate via getbbox
+    if not hasattr(ImageFont.FreeTypeFont, "getsize"):
+        def _getsize(self, text):
+            left, top, right, bottom = self.getbbox(text)
+            return right - left, bottom - top
+
+        ImageFont.FreeTypeFont.getsize = _getsize
+
+    import utils.general as G
+
+    # zero-egress: the reference's env checks try git/pip
+    G.check_git_status = lambda *a, **k: None
+    G.check_requirements = lambda *a, **k: None
+
+    import train as ref_train  # /root/reference/train.py (REF_ROOT is sys.path[0])
+
+    assert "reference" in ref_train.__file__, ref_train.__file__
+    ref_train.check_git_status = lambda *a, **k: None
+    ref_train.check_requirements = lambda *a, **k: None
+
+    if resume:
+        # continue an interrupted run from its own last.pt + opt.yaml
+        sys.argv = ["train.py", "--resume", f"{ROOT}/ref_runs/exp/weights/last.pt"]
+    else:
+        sys.argv = [
+            "train.py", "--img", str(IMG), "--batch-size", str(BS),
+            "--epochs", str(epochs), "--weights", "",
+            "--cfg", "/root/reference/models/yolov5n.yaml",
+            "--hyp", "/root/reference/data/hyps/hyp.scratch.yaml",
+            "--data", YAML, "--workers", "4",
+            "--project", f"{ROOT}/ref_runs", "--name", "exp", "--exist-ok",
+            "--device", "cpu",
+        ]
+    opt = ref_train.parse_opt()
+    ref_train.main(opt)
+
+
+def tpu(epochs=EPOCHS, device=None):
+    cmd = [
+        sys.executable, os.path.join(REPO, "train.py"),
+        "--cfg", "yolov5n.yaml", "--data", YAML, "--hyp", "scratch",
+        "--img", str(IMG), "--batch-size", str(BS), "--epochs", str(epochs),
+        "--workers", "4", "--project", f"{ROOT}/tpu_runs", "--name", "exp",
+        "--exist-ok", "--seed", "0",
+    ]
+    if device:
+        cmd += ["--device", device]
+    subprocess.run(cmd, check=True)
+
+
+def _csv_rows(path):
+    import csv
+
+    with open(path) as f:
+        rows = [{k.strip(): v for k, v in row.items()}
+                for row in csv.DictReader(f)]
+    # an interrupted+resumed run can append duplicate epoch rows; keep the
+    # last occurrence per epoch (the longest-lived writer) in epoch order
+    by_epoch = {}
+    for r in rows:
+        by_epoch[int(float(r["epoch"]))] = r
+    return [by_epoch[e] for e in sorted(by_epoch)]
+
+
+def report():
+    out = {}
+    ref_rows = _csv_rows(f"{ROOT}/ref_runs/exp/results.csv")
+    ref_map50 = [float(r["metrics/mAP_0.5"]) for r in ref_rows]
+    out["ref_final_map50"] = ref_map50[-1]
+    out["ref_best_map50"] = max(ref_map50)
+    tpu_rows = _csv_rows(f"{ROOT}/tpu_runs/exp/results.csv")
+    tpu_map50 = [float(r["metrics/mAP_0.5"]) for r in tpu_rows]
+    out["tpu_final_map50"] = tpu_map50[-1]
+    out["tpu_best_map50"] = max(tpu_map50)
+
+    # cross-eval: the reference-trained best.pt under OUR val CLI — the val
+    # protocol itself must reproduce the reference's number on its weights
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "val.py"),
+         "--weights", f"{ROOT}/ref_runs/exp/weights/best.pt",
+         "--data", YAML, "--img", str(IMG), "--batch-size", str(BS),
+         "--device", "cpu", "--fp32",
+         "--project", f"{ROOT}/cross_val", "--name", "exp", "--exist-ok"],
+        capture_output=True, text=True)
+    print(r.stdout[-2000:], file=sys.stderr)
+    for line in r.stdout.splitlines():
+        if "mAP@.5=" in line:
+            out["cross_val_line"] = line.strip()
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    phase = sys.argv[1] if len(sys.argv) > 1 else "gen"
+    kw = {}
+    if len(sys.argv) > 2 and phase in ("ref", "tpu"):
+        if sys.argv[2] == "resume":
+            kw["resume"] = True
+        else:
+            kw["epochs"] = int(sys.argv[2])
+    globals()[phase](**kw)
