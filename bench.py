@@ -174,8 +174,38 @@ def main():
             state, met = step(state, x_t, tgt, key)
         jax.block_until_ready(met["loss"])
         extra["flagship_train_bs32_img_s"] = round(bs_t * iters / (time.perf_counter() - t0), 1)
+
+        # the fork's headline workload: VisDrone recipe (train.sh:1) at
+        # 1536px, adam. bs8+remat is the measured optimum on one v5e
+        # (bs4 no-remat — the GPU recipe layout — runs 445 ms = 9 img/s;
+        # remat both shrinks the live-set and SPEEDS UP the high-res step);
+        # optimizer cadence is preserved via accumulate (nbs 64).
+        del state
+        step._clear_cache()
+        bs_v = 8
+        step_v = jax.jit(make_train_step(model, loss, sched, param_groups(model),
+                                         weight_decay=5e-4, adam=True,
+                                         dtype=jnp.bfloat16, remat=True))
+        state = init_train_state(params, stats)
+        tgt_v = Targets(
+            jnp.asarray(rng.integers(0, 10, (bs_v, 32)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0.2, 0.8, (bs_v, 32, 4)).astype(np.float32)),
+            jnp.asarray(np.ones((bs_v, 32), bool)),
+        )
+        x_v = jnp.asarray(
+            rng.uniform(0, 1, (bs_v, 1536, 1536, 3)).astype(np.float32))
+        state, met = step_v(state, x_v, tgt_v, key)
+        jax.block_until_ready(met["loss"])
+        t0 = time.perf_counter()
+        for _ in range(5):
+            state, met = step_v(state, x_v, tgt_v, key)
+        jax.block_until_ready(met["loss"])
+        extra["visdrone1536_train_bs8_remat_img_s"] = round(
+            bs_v * 5 / (time.perf_counter() - t0), 1)
     except Exception as e:  # train-step bench must never sink the artifact
-        extra["flagship_train_bs32_img_s"] = f"error: {type(e).__name__}"
+        extra.setdefault("flagship_train_bs32_img_s", f"error: {type(e).__name__}")
+        extra.setdefault("visdrone1536_train_bs8_remat_img_s",
+                         f"error: {type(e).__name__}")
 
     print(
         json.dumps(

@@ -46,7 +46,12 @@ def build_parser():
     p.add_argument("--remat", action="store_true",
                    help="rematerialise per-layer activations in backward "
                         "(jax.checkpoint): ~1 extra forward of FLOPs for "
-                        "O(depth) less HBM — fits larger batch/imgsz")
+                        "O(depth) less HBM — fits larger batch/imgsz. "
+                        "Auto-enabled at --imgsz >= 1024, where the smaller "
+                        "live-set also SPEEDS UP the step (measured 1536px "
+                        "bs4: 435 -> 369 ms); --no-remat opts out")
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable the automatic remat at imgsz >= 1024")
     p.add_argument("--max-targets", type=int, default=128)
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--spatial-shard", action="store_true",
@@ -86,6 +91,21 @@ def get_latest_run(search_dir: str = "runs/train"):
     runs = sorted(Path(search_dir).rglob("last.npz"),
                   key=lambda p: p.stat().st_mtime)
     return runs[-1] if runs else None
+
+
+def resolve_remat(remat: bool, no_remat: bool, imgsz: int) -> bool:
+    """Remat policy: explicit flag wins; otherwise auto-on at >= 1024px.
+
+    At high resolution the non-remat backward's activation live-set
+    degrades XLA's schedule as well as capacity — remat there is strictly
+    better (1536px bs4: 435 -> 369 ms/step, and bs8 fits where bs16 cannot
+    compile). At 640px remat costs ~20% step time, so it stays off.
+    """
+    if remat:
+        return True
+    if no_remat:
+        return False
+    return imgsz >= 1024
 
 
 def main(argv=None):
@@ -129,6 +149,11 @@ def main(argv=None):
             _yaml.safe_dump(
                 {k: v for k, v in vars(opt).items() if k != "device"}, f,
                 sort_keys=False)
+
+    if resolve_remat(opt.remat, opt.no_remat, opt.imgsz) and not opt.remat:
+        opt.remat = True
+        print(f"imgsz {opt.imgsz} >= 1024: enabling --remat "
+              "(faster + smaller at high res; --no-remat to opt out)")
 
     if opt.batch_size == -1:  # HBM-aware batch search (ref utils/autobatch.py:47)
         import jax

@@ -213,3 +213,15 @@ def test_tal_assigner_ya_yb_env(monkeypatch):
     monkeypatch.delenv("YB")
     l3 = ComputeLossTAL([8.0, 16.0, 32.0], nc=3)
     assert (l3.assigner.alpha, l3.assigner.beta) == (0.5, 6.0)
+
+
+def test_resolve_remat_policy():
+    # remat auto-enables at >= 1024px (measured faster AND smaller there),
+    # explicit flags win in both directions
+    from dmayolo_tpu.cli.train import resolve_remat
+
+    assert resolve_remat(False, False, 640) is False
+    assert resolve_remat(False, False, 1024) is True
+    assert resolve_remat(False, False, 1536) is True
+    assert resolve_remat(False, True, 1536) is False   # --no-remat opts out
+    assert resolve_remat(True, False, 640) is True     # --remat forces on
