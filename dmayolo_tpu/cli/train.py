@@ -118,6 +118,13 @@ def main(argv=None):
 
     from ..train.trainer import Trainer
 
+    # resolve BEFORE the opt.yaml dump below so the persisted run config
+    # records the remat actually used (resume re-derives from the saved opt)
+    if resolve_remat(opt.remat, opt.no_remat, opt.imgsz) and not opt.remat:
+        opt.remat = True
+        print(f"imgsz {opt.imgsz} >= 1024: enabling --remat "
+              "(faster + smaller at high res; --no-remat to opt out)")
+
     if opt.resume:
         # restore the interrupted run's own options + dir (ref train.py:657-669)
         last = (get_latest_run(opt.project) if opt.resume == "auto"
@@ -149,11 +156,6 @@ def main(argv=None):
             _yaml.safe_dump(
                 {k: v for k, v in vars(opt).items() if k != "device"}, f,
                 sort_keys=False)
-
-    if resolve_remat(opt.remat, opt.no_remat, opt.imgsz) and not opt.remat:
-        opt.remat = True
-        print(f"imgsz {opt.imgsz} >= 1024: enabling --remat "
-              "(faster + smaller at high res; --no-remat to opt out)")
 
     if opt.batch_size == -1:  # HBM-aware batch search (ref utils/autobatch.py:47)
         import jax

@@ -33,7 +33,7 @@ import sys
 ROOT = "/tmp/shapes_parity"
 DATA = f"{ROOT}/data"
 YAML = f"{DATA}/shapes.yaml"
-EPOCHS = 40
+EPOCHS = 100  # the recorded docs/PARITY.md run: 100 epochs both sides
 IMG = 256
 BS = 16
 
@@ -113,16 +113,20 @@ def ref(epochs=EPOCHS, resume=False):
     ref_train.main(opt)
 
 
-def tpu(epochs=EPOCHS, device=None):
-    cmd = [
-        sys.executable, os.path.join(REPO, "train.py"),
-        "--cfg", "yolov5n.yaml", "--data", YAML, "--hyp", "scratch",
-        "--img", str(IMG), "--batch-size", str(BS), "--epochs", str(epochs),
-        "--workers", "4", "--project", f"{ROOT}/tpu_runs", "--name", "exp",
-        "--exist-ok", "--seed", "0",
-    ]
-    if device:
-        cmd += ["--device", device]
+def tpu(epochs=EPOCHS, device=None, resume=False):
+    if resume:
+        cmd = [sys.executable, os.path.join(REPO, "train.py"),
+               "--resume", f"{ROOT}/tpu_runs/exp/last.npz"]
+    else:
+        cmd = [
+            sys.executable, os.path.join(REPO, "train.py"),
+            "--cfg", "yolov5n.yaml", "--data", YAML, "--hyp", "scratch",
+            "--img", str(IMG), "--batch-size", str(BS), "--epochs", str(epochs),
+            "--workers", "4", "--project", f"{ROOT}/tpu_runs", "--name", "exp",
+            "--exist-ok", "--seed", "0",
+        ]
+        if device:
+            cmd += ["--device", device]
     subprocess.run(cmd, check=True)
 
 
@@ -161,6 +165,9 @@ def report():
          "--project", f"{ROOT}/cross_val", "--name", "exp", "--exist-ok"],
         capture_output=True, text=True)
     print(r.stdout[-2000:], file=sys.stderr)
+    if r.returncode != 0:
+        print(r.stderr[-3000:], file=sys.stderr)
+        raise SystemExit(f"cross-eval val.py failed (rc={r.returncode})")
     for line in r.stdout.splitlines():
         if "mAP@.5=" in line:
             out["cross_val_line"] = line.strip()
