@@ -40,11 +40,12 @@ BS = 16
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def gen():
+def gen(n_train=192, n_val=48, img_size=320):
     sys.path.insert(0, REPO)
     from dmayolo_tpu.data.synthetic import generate
 
-    path = generate(DATA, n_train=192, n_val=48, img_size=320, seed=7)
+    path = generate(DATA, n_train=n_train, n_val=n_val, img_size=img_size,
+                    seed=7)
     print("dataset:", path)
 
 
@@ -90,7 +91,20 @@ def ref(epochs=EPOCHS, resume=False):
     G.check_git_status = lambda *a, **k: None
     G.check_requirements = lambda *a, **k: None
 
-    import train as ref_train  # /root/reference/train.py (REF_ROOT is sys.path[0])
+    # load by explicit path: a bare `import train` can collide with OUR
+    # root train.py when something else (e.g. pytest) owns sys.path[0]
+    import importlib.util
+
+    def _load(name):
+        spec = importlib.util.spec_from_file_location(
+            name, f"/root/reference/{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    _load("val")  # train.py's epoch evaluator — same collision class
+    ref_train = _load("train")
 
     assert "reference" in ref_train.__file__, ref_train.__file__
     ref_train.check_git_status = lambda *a, **k: None
@@ -172,6 +186,7 @@ def report():
         if "mAP@.5=" in line:
             out["cross_val_line"] = line.strip()
     print(json.dumps(out, indent=2))
+    return out
 
 
 if __name__ == "__main__":
