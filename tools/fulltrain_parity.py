@@ -49,7 +49,23 @@ def gen(n_train=192, n_val=48, img_size=320):
     print("dataset:", path)
 
 
-def ref(epochs=EPOCHS, resume=False):
+def _tal_cfg():
+    """Width/depth-scaled copy of the reference's TDetect config
+    (CASPD_ODRTA: C3CA + SPD backbone, P2..P5 anchor-free head) so the
+    TAL-path full-train runs at yolov5n cost on both sides."""
+    import yaml
+
+    with open("/root/reference/models/CASPD_ODRTA.yaml", errors="ignore") as f:
+        cfg = yaml.safe_load(f)
+    cfg["depth_multiple"], cfg["width_multiple"] = 0.33, 0.25
+    os.makedirs(ROOT, exist_ok=True)
+    path = f"{ROOT}/caspd_odrta_n.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+    return path
+
+
+def ref(epochs=EPOCHS, resume=False, tal=False):
     sys.path.insert(0, REPO)
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from ref_compat import setup_reference_imports
@@ -103,42 +119,68 @@ def ref(epochs=EPOCHS, resume=False):
         spec.loader.exec_module(mod)
         return mod
 
-    _load("val")  # train.py's epoch evaluator — same collision class
+    ref_val = _load("val")  # train.py's epoch evaluator — same collision class
     ref_train = _load("train")
 
     assert "reference" in ref_train.__file__, ref_train.__file__
     ref_train.check_git_status = lambda *a, **k: None
     ref_train.check_requirements = lambda *a, **k: None
 
+    if tal:
+        # The reference CANNOT evaluate TAL/TDetect models: val.py:220
+        # iterates TDetect's (x, box, cls) train_out tuple expecting anchor
+        # tensors, and its NMS consumes (B, N, 5+nc) obj-at-4 layout while
+        # TDetect emits channels-first (B, 4+nc, A) with no objectness —
+        # `train.sh:3` crashes at the first epoch-end val upstream. Train
+        # the reference blind (its own loss/optimizer, no epoch val) and
+        # evaluate BOTH frameworks' TAL checkpoints under OUR val CLI
+        # (report phase), which decodes TDetect natively.
+        def _noop_run(*a, **k):
+            import numpy as _np
+
+            nc = 3
+            return (0.0,) * 7, _np.zeros(nc), (0.0, 0.0, 0.0)
+
+        ref_val.run = _noop_run
+
+    runs = f"{ROOT}/ref_runs_tal" if tal else f"{ROOT}/ref_runs"
     if resume:
         # continue an interrupted run from its own last.pt + opt.yaml
-        sys.argv = ["train.py", "--resume", f"{ROOT}/ref_runs/exp/weights/last.pt"]
+        sys.argv = ["train.py", "--resume", f"{runs}/exp/weights/last.pt"]
     else:
         sys.argv = [
             "train.py", "--img", str(IMG), "--batch-size", str(BS),
             "--epochs", str(epochs), "--weights", "",
-            "--cfg", "/root/reference/models/yolov5n.yaml",
+            "--cfg", _tal_cfg() if tal else "/root/reference/models/yolov5n.yaml",
             "--hyp", "/root/reference/data/hyps/hyp.scratch.yaml",
             "--data", YAML, "--workers", "4",
-            "--project", f"{ROOT}/ref_runs", "--name", "exp", "--exist-ok",
+            "--project", runs, "--name", "exp", "--exist-ok",
             "--device", "cpu",
         ]
+        if tal:
+            # anchor-free TDetect head + TaskAlignedAssigner loss
+            # (reference train.py:360-363, train.sh:3)
+            sys.argv += ["--assignment", "tal", "--noautoanchor"]
     opt = ref_train.parse_opt()
     ref_train.main(opt)
 
 
-def tpu(epochs=EPOCHS, device=None, resume=False):
+def tpu(epochs=EPOCHS, device=None, resume=False, tal=False):
+    runs = f"{ROOT}/tpu_runs_tal" if tal else f"{ROOT}/tpu_runs"
     if resume:
         cmd = [sys.executable, os.path.join(REPO, "train.py"),
-               "--resume", f"{ROOT}/tpu_runs/exp/last.npz"]
+               "--resume", f"{runs}/exp/last.npz"]
     else:
         cmd = [
             sys.executable, os.path.join(REPO, "train.py"),
-            "--cfg", "yolov5n.yaml", "--data", YAML, "--hyp", "scratch",
+            "--cfg", _tal_cfg() if tal else "yolov5n.yaml",
+            "--data", YAML, "--hyp", "scratch",
             "--img", str(IMG), "--batch-size", str(BS), "--epochs", str(epochs),
-            "--workers", "4", "--project", f"{ROOT}/tpu_runs", "--name", "exp",
+            "--workers", "4", "--project", runs, "--name", "exp",
             "--exist-ok", "--seed", "0",
         ]
+        if tal:
+            cmd += ["--assignment", "tal", "--noautoanchor"]
         if device:
             cmd += ["--device", device]
     subprocess.run(cmd, check=True)
@@ -158,25 +200,29 @@ def _csv_rows(path):
     return [by_epoch[e] for e in sorted(by_epoch)]
 
 
-def report():
+def report(tal=False):
+    sfx = "_tal" if tal else ""
     out = {}
-    ref_rows = _csv_rows(f"{ROOT}/ref_runs/exp/results.csv")
-    ref_map50 = [float(r["metrics/mAP_0.5"]) for r in ref_rows]
-    out["ref_final_map50"] = ref_map50[-1]
-    out["ref_best_map50"] = max(ref_map50)
-    tpu_rows = _csv_rows(f"{ROOT}/tpu_runs/exp/results.csv")
+    if not tal:  # TAL: the reference trains blind (see ref()), no mAP CSV
+        ref_rows = _csv_rows(f"{ROOT}/ref_runs{sfx}/exp/results.csv")
+        ref_map50 = [float(r["metrics/mAP_0.5"]) for r in ref_rows]
+        out["ref_final_map50"] = ref_map50[-1]
+        out["ref_best_map50"] = max(ref_map50)
+    tpu_rows = _csv_rows(f"{ROOT}/tpu_runs{sfx}/exp/results.csv")
     tpu_map50 = [float(r["metrics/mAP_0.5"]) for r in tpu_rows]
     out["tpu_final_map50"] = tpu_map50[-1]
     out["tpu_best_map50"] = max(tpu_map50)
 
-    # cross-eval: the reference-trained best.pt under OUR val CLI — the val
-    # protocol itself must reproduce the reference's number on its weights
+    # cross-eval: the reference-trained checkpoint under OUR val CLI — the
+    # val protocol itself must reproduce the reference's number on its
+    # weights (TAL: last.pt — the reference cannot select best itself)
+    ckpt = f"{ROOT}/ref_runs{sfx}/exp/weights/" + ("last.pt" if tal else "best.pt")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "val.py"),
-         "--weights", f"{ROOT}/ref_runs/exp/weights/best.pt",
+         "--weights", ckpt,
          "--data", YAML, "--img", str(IMG), "--batch-size", str(BS),
          "--device", "cpu", "--fp32",
-         "--project", f"{ROOT}/cross_val", "--name", "exp", "--exist-ok"],
+         "--project", f"{ROOT}/cross_val{sfx}", "--name", "exp", "--exist-ok"],
         capture_output=True, text=True)
     print(r.stdout[-2000:], file=sys.stderr)
     if r.returncode != 0:
@@ -190,11 +236,15 @@ def report():
 
 
 if __name__ == "__main__":
-    phase = sys.argv[1] if len(sys.argv) > 1 else "gen"
+    args = sys.argv[1:]
+    phase = args[0] if args else "gen"
     kw = {}
-    if len(sys.argv) > 2 and phase in ("ref", "tpu"):
-        if sys.argv[2] == "resume":
+    if "tal" in args[1:] and phase in ("ref", "tpu", "report"):
+        kw["tal"] = True
+        args = [a for a in args if a != "tal"]
+    if len(args) > 1 and phase in ("ref", "tpu"):
+        if args[1] == "resume":
             kw["resume"] = True
         else:
-            kw["epochs"] = int(sys.argv[2])
+            kw["epochs"] = int(args[1])
     globals()[phase](**kw)
