@@ -74,6 +74,17 @@ def load_model_from_checkpoint(weights, cfg=None, nc=None):
         params = trees.get("ema_params") or trees["params"]
         # a fully-fused checkpoint may have no BN stats left at all
         stats = trees.get("ema_stats") or trees.get("stats") or {}
+        a = meta.get("anchors")
+        cur = getattr(model.head, "anchors", None)  # TDetect is anchor-free
+        if a is not None and cur is not None:
+            import numpy as _np
+
+            a = _np.asarray(a, _np.float32)
+            if tuple(a.shape) == tuple(_np.shape(cur)):
+                # live (possibly autoanchor-evolved) anchors, stride units —
+                # override the cfg-built values (incl. `anchors: <int>`
+                # placeholders) exactly like the .pt interop path below
+                model.head.anchors = a
         return model, params, stats
     assert cfg, "need --weights or --cfg"
     model = DetectionModel(resolve_config(cfg, "models"), nc=nc)

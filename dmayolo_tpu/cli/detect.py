@@ -133,6 +133,13 @@ def main(argv=None):
 
     def _maybe_update():
         if getattr(opt, "update", False):  # ref detect.py --update
+            if str(opt.weights).endswith(".pt"):
+                # reference-format checkpoints are read-only interop inputs;
+                # strip_checkpoint writes our npz format only
+                print("--update: skipped — reference .pt checkpoints are "
+                      "loaded read-only (use export.py --include torch to "
+                      "write torch weights)")
+                return
             from ..utils.checkpoint import strip_checkpoint
 
             strip_checkpoint(opt.weights)
@@ -270,10 +277,20 @@ def _run_video(opt, infer, names, out):
             c = int(cls)
             color = PALETTE[c % len(PALETTE)]
             cv2.rectangle(frame, (int(x1), int(y1)), (int(x2), int(y2)), color, opt.line_thickness)
-            cv2.putText(frame, f"{names[c]} {conf:.2f}", (int(x1), int(y1) - 4),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2)
+            if not getattr(opt, "hide_labels", False):
+                txt = (names[c] if getattr(opt, "hide_conf", False)
+                       else f"{names[c]} {conf:.2f}")
+                cv2.putText(frame, txt, (int(x1), int(y1) - 4),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2)
         if writer is not None:
             writer.write(frame)
+        if getattr(opt, "view_img", False):
+            try:
+                cv2.imshow("dmayolo", frame)
+                cv2.waitKey(1)
+            except Exception:  # headless: cv2.error or Qt plugin failure
+                print("--view-img: no display available, skipping")
+                opt.view_img = False
         n += 1
     if writer is not None:
         writer.release()

@@ -93,6 +93,10 @@ def main(argv=None):
 
     if "torch" in opt.include:
         out = base.parent / (base.name + ".pt")
+        if out.resolve() == Path(opt.weights).resolve():
+            # --weights best.pt --include torch would overwrite the user's
+            # source checkpoint with a bare state_dict (losing ema/yaml/nc)
+            out = base.parent / (base.name + "_export.pt")
         export_torch_state_dict(model, params, stats, out)
         outputs.append(out)
 

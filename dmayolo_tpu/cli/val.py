@@ -86,6 +86,17 @@ def main(argv=None):
     split = data.get(opt.task if opt.task in ("val", "test") else "val") or data["val"]
     if opt.task == "speed":
         opt.conf_thres, opt.iou_thres = 0.25, 0.45
+    mesh = None
+    if opt.devices > 1:
+        from ..parallel.mesh import make_mesh
+
+        n_sp = 2 if opt.spatial_shard and opt.devices % 2 == 0 else 1
+        if opt.spatial_shard and n_sp == 1:
+            print(f"--spatial-shard needs an even --devices count "
+                  f"(got {opt.devices}) — falling back to pure data "
+                  f"parallelism")
+        mesh = make_mesh(n_data=opt.devices // n_sp, n_spatial=n_sp)
+
     if opt.task == "study":
         # mAP/speed across image sizes (ref val.py:416-435)
         rows = []
@@ -95,6 +106,8 @@ def main(argv=None):
                 nc=data["nc"], conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
                 max_det=opt.max_det, max_nms=opt.max_nms,
                 nms_backend=opt.nms_backend,
+                mesh=mesh, spatial=opt.spatial_shard,
+                save_hybrid=opt.save_hybrid,
                 dtype=jnp.float32 if opt.fp32 else jnp.bfloat16, fused=fused,
             )
             rows.append((sz, r.mp, r.mr, r.map50, r.map, r.speed_ms.get("inference+nms", 0)))
@@ -115,13 +128,6 @@ def main(argv=None):
         class_map = coco80_to_coco91_class() if is_coco_data(data) else None
     else:
         class_map = None
-
-    mesh = None
-    if opt.devices > 1:
-        from ..parallel.mesh import make_mesh
-
-        n_sp = 2 if opt.spatial_shard and opt.devices % 2 == 0 else 1
-        mesh = make_mesh(n_data=opt.devices // n_sp, n_spatial=n_sp)
 
     res = run_validation(
         model, params, stats, split,
@@ -169,7 +175,17 @@ def main(argv=None):
             print(f"COCOeval: mAP@.5:.95={coco_res[0]:.4f} mAP@.5={coco_res[1]:.4f}")
     print(res.summary())
     print("speed:", {k: f"{v:.2f}ms" for k, v in res.speed_ms.items()})
-    if res.maps is not None:
+    if (opt.verbose or int(data["nc"]) < 50) and res.per_class is not None:
+        # full per-class table (reference val.py:302-306; verbose there is
+        # forced on for nc < 50 standalone runs)
+        pc = res.per_class
+        print(f"  {'Class':>16} {'Labels':>7} {'P':>7} {'R':>7} "
+              f"{'mAP@.5':>7} {'mAP@.5:.95':>10}")
+        for j, ci in enumerate(pc["cls"]):
+            print(f"  {data['names'][int(ci)]:>16} {int(pc['nt'][j]):>7} "
+                  f"{pc['p'][j]:>7.4f} {pc['r'][j]:>7.4f} "
+                  f"{pc['ap50'][j]:>7.4f} {pc['ap'][j]:>10.4f}")
+    elif res.maps is not None:
         for i, name in enumerate(data["names"]):
             if res.maps[i] > 0:
                 print(f"  {name:>16}: mAP@.5:.95 {res.maps[i]:.4f}")

@@ -39,6 +39,7 @@ class ValResult:
     map75: float = 0.0  # the val2.py extra column (ref val2.py:186-352)
     map: float = 0.0
     maps: Optional[np.ndarray] = None  # per-class AP
+    per_class: Optional[Dict[str, np.ndarray]] = None  # cls/p/r/ap50/ap/nt
     speed_ms: Dict[str, float] = field(default_factory=dict)
     nt: int = 0
 
@@ -311,4 +312,8 @@ def run_validation(
         maps = np.zeros(nc)
         maps[classes] = ap_mean
         res.maps = maps
+        # per-class table data (reference val.py:302-306 verbose report)
+        nt_cls = np.bincount(tcls.astype(int), minlength=nc)[classes]
+        res.per_class = {"cls": classes, "p": p, "r": r, "ap50": ap50,
+                         "ap": ap_mean, "nt": nt_cls}
     return res

@@ -224,10 +224,15 @@ class ComputeLoss:
         # hits 0/0 in the SIoU shape cost, and NaN*0 poisons the masked sum)
         gwh = jnp.where(targets.mask[..., None], box[..., 2:4], 1.0)
 
-        # anchor ratio filter (B, M, na)
+        # anchor ratio filter (B, M, na). A REAL label can be degenerate too
+        # (0-width boxes survive conversion on some datasets; only the mosaic
+        # path filters wh>2px): like the reference, 0/anchor -> max(r,1/r)
+        # = inf fails the gate, dropping the label — but its tbox wh must
+        # still be finite-safe below (exclusion is a *0, not a selection).
         r = gwh[:, :, None, :] / anchors[None, None]
         a_mask = jnp.max(jnp.maximum(r, 1.0 / r), axis=-1) < self.hyp["anchor_t"]
         a_mask = a_mask & targets.mask[:, :, None]
+        gwh = jnp.where(gwh > 0, gwh, 1.0)  # sanitize AFTER the gate
 
         # neighbour-offset masks (B, M, 5)
         gx, gy = gxy[..., 0], gxy[..., 1]

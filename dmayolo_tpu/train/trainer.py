@@ -199,8 +199,22 @@ class Trainer:
         self.class_weights = labels_to_class_weights(self.train_ds.labels, nc)
         self.maps = np.zeros(nc)  # per-class mAP for image-weight resampling
 
+        # resume: load once, up front — the trained anchors must be restored
+        # BEFORE the loss captures head.anchors (re-running kmeans here would
+        # train against different anchors than the checkpoint's weights)
+        self._resume = load_checkpoint(resume_from) if resume_from else None
+        resumed_anchors = False
+        if self._resume is not None:
+            anc = self._resume[1].get("anchors")
+            cur = getattr(self.model.head, "anchors", None)
+            if anc is not None and cur is not None:
+                anc = np.asarray(anc, np.float32)
+                if tuple(anc.shape) == tuple(np.shape(cur)):
+                    self.model.head.anchors = anc
+                    resumed_anchors = True
+
         # autoanchor before the loss captures head.anchors (ref train.py:318)
-        if autoanchor and assignment == "anchor":
+        if autoanchor and assignment == "anchor" and not resumed_anchors:
             from .autoanchor import maybe_autoanchor
 
             maybe_autoanchor(self.model, self.train_ds, img_size,
@@ -268,7 +282,7 @@ class Trainer:
         self.start_epoch = 0
         self.best_fitness = 0.0
         if resume_from:
-            trees, meta = load_checkpoint(resume_from)
+            trees, meta = self._resume
             self.state = self.state._replace(
                 params=trees["params"], stats=trees["stats"],
                 ema_params=trees.get("ema_params", trees["params"]),
@@ -311,6 +325,12 @@ class Trainer:
             "nc": self.nc,
             "cfg": self.cfg_ref,
         }
+        anc = getattr(self.model.head, "anchors", None)  # TDetect: anchor-free
+        if anc is not None:
+            # persist the LIVE anchors (stride units): autoanchor may have
+            # replaced the cfg's values (or `anchors: <int>` placeholders) —
+            # rebuilding from cfg alone would decode with the wrong ones
+            meta["anchors"] = np.asarray(anc, np.float32).tolist()
         if self.ckpt_async:
             # orbax async sharded save: no device_get, no training stall —
             # each host streams the shards it owns (pods); npz path below

@@ -99,7 +99,7 @@ def strip_checkpoint(src, dst=None):
     params = trees.get("ema_params") or trees["params"]
     stats = trees.get("ema_stats") or trees["stats"]
     dst = dst or src
-    keep = ("epoch", "best_fitness", "nc", "cfg")  # keep self-description
+    keep = ("epoch", "best_fitness", "nc", "cfg", "anchors")  # self-description
     save_checkpoint(dst, params=params, stats=stats, half=True,
                     meta={k: meta[k] for k in keep if k in meta and meta[k] is not None})
     return dst

@@ -16,7 +16,8 @@ def main(path):
 
     model = load(weights=path, device="cpu").model
     head = model.head
-    anchors = np.asarray(head.anchors)
+    # TDetect defines no anchors attribute at all (anchor-free)
+    anchors = np.asarray(getattr(head, "anchors", np.empty((0,))))
     stride = np.asarray(model.stride)
     if anchors.size == 0:
         print(f"{path}: anchor-free head ({type(head).__name__}), "

@@ -225,3 +225,32 @@ def test_resolve_remat_policy():
     assert resolve_remat(False, False, 1536) is True
     assert resolve_remat(False, True, 1536) is False   # --no-remat opts out
     assert resolve_remat(True, False, 640) is True     # --remat forces on
+
+
+def test_checkpoint_anchor_roundtrip(tmp_path):
+    # autoanchor-evolved anchors must survive save -> load -> strip: the
+    # cfg alone would rebuild the ORIGINAL (or placeholder) anchors and
+    # silently decode garbage (round-2 advisor finding)
+    import numpy as np
+
+    from dmayolo_tpu.cli.common import load_model_from_checkpoint, resolve_config
+    from dmayolo_tpu.graph import DetectionModel
+    from dmayolo_tpu.utils.checkpoint import save_checkpoint, strip_checkpoint
+
+    import jax
+
+    model = DetectionModel(resolve_config("yolov5n.yaml", "models"), nc=3)
+    params, stats = model.init_with_priors(jax.random.PRNGKey(0))
+    evolved = np.asarray(model.head.anchors, np.float32) * 1.7
+    model.head.anchors = evolved
+
+    ck = tmp_path / "last.npz"
+    save_checkpoint(ck, params=params, stats=stats,
+                    meta={"cfg": "yolov5n.yaml", "nc": 3,
+                          "anchors": evolved.tolist()})
+    m2, _, _ = load_model_from_checkpoint(str(ck))
+    assert np.allclose(np.asarray(m2.head.anchors), evolved)
+
+    stripped = strip_checkpoint(str(ck), str(tmp_path / "best.npz"))
+    m3, _, _ = load_model_from_checkpoint(str(stripped))
+    assert np.allclose(np.asarray(m3.head.anchors), evolved)

@@ -39,6 +39,7 @@ def main(argv=None):
     random.Random(args.seed).shuffle(files)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    root = Path(args.images)
     for p in files[: args.n]:
         im = cv2.imread(str(p))
         if im is None:
@@ -59,8 +60,12 @@ def main(argv=None):
                 cv2.putText(im, c, (x1, max(y1 - 4, 10)),
                             cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
                 n += 1
-        cv2.imwrite(str(out / p.name), im)
-        print(f"{p.name}: {n} boxes -> {out / p.name}")
+        # key by the path relative to the root: sequence-layout datasets
+        # repeat bare filenames (seqA/img00001.jpg, seqB/img00001.jpg)
+        rel = p.relative_to(root) if p.is_relative_to(root) else Path(p.name)
+        name = "__".join(rel.parts)
+        cv2.imwrite(str(out / name), im)
+        print(f"{rel}: {n} boxes -> {out / name}")
 
 
 if __name__ == "__main__":
