@@ -175,7 +175,12 @@ def nms_matrix_blocked(boxes, scores, iou_thres: float, max_det: int = 300,
     keep = keeps.transpose(1, 0, 2).reshape(b, kp)[:, :k]
 
     keep_scores = jnp.where(keep, scores[:, :k], NEG_INF)
-    top_scores, keep_idx = jax.lax.top_k(keep_scores, max_det)
+    kk = min(max_det, k)
+    top_scores, keep_idx = jax.lax.top_k(keep_scores, kk)
+    if kk < max_det:
+        keep_idx = jnp.pad(keep_idx, ((0, 0), (0, max_det - kk)))
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, max_det - kk)),
+                             constant_values=NEG_INF)
     return keep_idx.astype(jnp.int32), top_scores > NEG_INF / 2
 
 
@@ -200,7 +205,15 @@ def nms_matrix(boxes, scores, iou_thres: float, max_det: int = 300,
     valid = scores > NEG_INF / 2
     keep = _fixpoint_keep(_pairwise_iou(boxes, boxes), valid, iou_thres)
     keep_scores = jnp.where(keep, scores, NEG_INF)
-    top_scores, keep_idx = jax.lax.top_k(keep_scores, max_det)
+    # K can be smaller than max_det (tiny decodes, max_nms < max_det):
+    # top_k would raise at trace time, so clamp and pad to the fixed width
+    kk = min(max_det, keep_scores.shape[1])
+    top_scores, keep_idx = jax.lax.top_k(keep_scores, kk)
+    if kk < max_det:
+        pad = max_det - kk
+        keep_idx = jnp.pad(keep_idx, ((0, 0), (0, pad)))
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)),
+                             constant_values=NEG_INF)
     return keep_idx.astype(jnp.int32), top_scores > NEG_INF / 2
 
 
@@ -318,27 +331,42 @@ def batched_nms(
     boxes_xyxy = xywh2xyxy(prediction[..., :4])  # (B, N, 4)
     obj = prediction[..., 4:5]
     cls_scores = prediction[..., 5:] * obj  # (B, N, nc)
-    if class_mask is not None:
-        cls_scores = jnp.where(class_mask[None, None, :], cls_scores, 0.0)
 
     if multi_label:
-        # every (box, class) pair above threshold is a candidate
+        # every (box, class) pair above threshold is a candidate. The
+        # reference's classes filter drops per-(box,class) rows here
+        # (general.py:689-693), so masking pairs is exactly equivalent.
+        if class_mask is not None:
+            cls_scores = jnp.where(class_mask[None, None, :], cls_scores, 0.0)
         b, n, _ = cls_scores.shape
         flat_scores = cls_scores.reshape(b, n * nc)
         flat_cls = jnp.tile(jnp.arange(nc, dtype=prediction.dtype), (n,))
-        flat_boxes = jnp.repeat(boxes_xyxy, nc, axis=1)  # (B, N*nc, 4)
         cand_scores = jnp.where(flat_scores > conf_thres, flat_scores, NEG_INF)
         cand_cls = jnp.broadcast_to(flat_cls, flat_scores.shape)
+        flat_boxes = None  # gathered from boxes_xyxy via top_idx // nc below
     else:
+        # single-label: the reference picks the best class FIRST and only
+        # then applies the classes filter to whole detections — a box whose
+        # best class is excluded is dropped, not re-labelled with its best
+        # allowed class (general.py:683-693)
         best_cls = jnp.argmax(cls_scores, axis=-1)  # (B, N)
         best_score = jnp.max(cls_scores, axis=-1)
-        cand_scores = jnp.where(best_score > conf_thres, best_score, NEG_INF)
+        keep = best_score > conf_thres
+        if class_mask is not None:
+            keep = keep & class_mask[best_cls]
+        cand_scores = jnp.where(keep, best_score, NEG_INF)
         cand_cls = best_cls.astype(prediction.dtype)
         flat_boxes = boxes_xyxy
 
     k = min(max_nms, cand_scores.shape[1])
     top_scores, top_idx = jax.lax.top_k(cand_scores, k)  # (B, K)
-    top_boxes = jnp.take_along_axis(flat_boxes, top_idx[..., None], axis=1)
+    if multi_label:
+        # gather source boxes by candidate row // nc instead of
+        # materialising the nc-fold replicated (B, N*nc, 4) tensor
+        top_boxes = jnp.take_along_axis(
+            boxes_xyxy, (top_idx // nc)[..., None], axis=1)
+    else:
+        top_boxes = jnp.take_along_axis(flat_boxes, top_idx[..., None], axis=1)
     top_cls = jnp.take_along_axis(cand_cls, top_idx, axis=1)
 
     offset = 0.0 if agnostic else MAX_WH

@@ -103,4 +103,8 @@ def pallas_batched_nms_core(boxes, scores, iou_thres: float = 0.45,
     order = jnp.argsort(jnp.where(rank >= 0, rank, jnp.int32(2**30)), axis=-1)
     keep_idx = order[:, :max_det].astype(jnp.int32)
     keep_valid = jnp.take_along_axis(rank, keep_idx, axis=-1) >= 0
+    if k < max_det:  # fixed output width even when candidates < max_det
+        pad = max_det - k
+        keep_idx = jnp.pad(keep_idx, ((0, 0), (0, pad)))
+        keep_valid = jnp.pad(keep_valid, ((0, 0), (0, pad)))
     return keep_idx, keep_valid

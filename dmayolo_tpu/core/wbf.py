@@ -80,12 +80,16 @@ def weighted_boxes_fusion(
     fused = np.asarray(out_boxes)
     boxes = fused[:, 3:]
     labels = fused[:, 0]
-    # 'avg' conf: mean score rescaled by cluster support vs model count
+    # 'avg' conf, matching ensemble_boxes exactly: mean of the weighted
+    # scores over the cluster SIZE, rescaled by min(len, W)/W where W is
+    # the total model weight (identical to ours for unit weights; the
+    # previous sum(w)-normalisation diverged for non-uniform --weights)
+    total_w = float(weights.sum())
     scores = np.array(
         [
-            (np.asarray(c)[:, 1].sum() / np.asarray(c)[:, 2].sum())
-            * min(len(c), n_models)
-            / n_models
+            (np.asarray(c)[:, 1].sum() / len(c))
+            * min(len(c), total_w)
+            / total_w
             for c in clusters
         ]
     )

@@ -92,10 +92,13 @@ def cam_for_detection(model, params, stats, x, layer_i: int, cand_idx: int,
     # feat/saved are per-input; the compiled grad fn is shared across every
     # detection AND every same-shaped image (params/stats are jit ARGUMENTS,
     # not closure constants — constants bake MBs into the executable)
-    if _cache.get("x_id") != (id(x), layer_i):
+    # identity check holds a strong reference to x: a bare id() key can be
+    # reused by CPython for the NEXT image once the previous array is
+    # garbage-collected, silently serving stale activations
+    if _cache.get("x_obj") is not x or _cache.get("layer_i") != layer_i:
         feat, saved = split_forward(model, params, stats, x, layer_i, fused)
         saved = {k: jax.lax.stop_gradient(v) for k, v in saved.items()}
-        _cache["x_id"] = (id(x), layer_i)
+        _cache["x_obj"], _cache["layer_i"] = x, layer_i
         _cache["feat"], _cache["saved"] = feat, saved
     feat, saved = _cache["feat"], _cache["saved"]
 

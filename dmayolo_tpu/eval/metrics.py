@@ -114,8 +114,10 @@ class ConfusionMatrix:
         detection_classes = detections[:, 5].astype(int) if detections.shape[0] else np.zeros(0, int)
 
         if labels.shape[0] == 0:
-            for dc in detection_classes:
-                self.matrix[dc, self.nc] += 1  # false positive
+            # reference quirk, matched exactly: with no labels there are no
+            # IoU matches, n=False, and its unmatched-detections block is
+            # inside `if n:` (metrics.py:157-160) — detections on label-free
+            # images are recorded NOWHERE, not as background FP
             return
         if detections.shape[0] == 0:
             for gc in gt_classes:

@@ -103,10 +103,14 @@ class Detect(Module):
             half = wh * 0.5
             box = jnp.concatenate([xy - half, xy + half], axis=-1)
             conf = y[..., 4:5] * y[..., 5:]
-            if class_mask is not None:
-                conf = jnp.where(class_mask[None, None, None, None, :], conf, 0.0)
+            # reference classes-filter semantics (general.py:683-693): pick
+            # the best class FIRST, then drop whole detections whose best
+            # class is excluded — never re-label with the best allowed class
             best = jnp.max(conf, axis=-1)
-            bc = jnp.argmax(conf, axis=-1).astype(jnp.float32)
+            bc = jnp.argmax(conf, axis=-1)
+            if class_mask is not None:
+                best = jnp.where(class_mask[bc], best, 0.0)
+            bc = bc.astype(jnp.float32)
             bxs.append(box.transpose(0, 3, 1, 2, 4).reshape(b, na * ny * nx, 4))
             scs.append(best.transpose(0, 3, 1, 2).reshape(b, na * ny * nx))
             cls_.append(bc.transpose(0, 3, 1, 2).reshape(b, na * ny * nx))
@@ -227,7 +231,10 @@ class TDetect(Module):
         dist = dfl_expectation(box_logits.reshape(b, a, 4, self.reg_max))
         boxes = dist2bbox(dist, anchor_points[None], xywh=False) * strides[None]
         conf = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+        # best class first, then drop excluded detections whole (see
+        # Detect.decode_parts; ref general.py:683-693)
+        best = jnp.max(conf, axis=-1)
+        bc = jnp.argmax(conf, axis=-1)
         if class_mask is not None:
-            conf = jnp.where(class_mask[None, None, :], conf, 0.0)
-        return (boxes, jnp.max(conf, axis=-1),
-                jnp.argmax(conf, axis=-1).astype(jnp.float32))
+            best = jnp.where(class_mask[bc], best, 0.0)
+        return boxes, best, bc.astype(jnp.float32)
