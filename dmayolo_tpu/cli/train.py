@@ -16,8 +16,10 @@ from .common import increment_path, load_hyp, resolve_config
 
 def build_parser():
     p = argparse.ArgumentParser("dmayolo-train")
-    p.add_argument("--cfg", type=str, required=True, help="model yaml")
-    p.add_argument("--data", type=str, required=True, help="dataset yaml")
+    # not argparse-required: a bare `--resume <ckpt>` restores cfg/data from
+    # the run's own opt.yaml (ref train.py:657-669); checked after parsing
+    p.add_argument("--cfg", type=str, default=None, help="model yaml")
+    p.add_argument("--data", type=str, default=None, help="dataset yaml")
     p.add_argument("--hyp", type=str, default="scratch", help="hyp yaml")
     p.add_argument("--weights", type=str, default="", help="pretrained npz checkpoint")
     p.add_argument("--epochs", type=int, default=300)
@@ -110,6 +112,8 @@ def resolve_remat(remat: bool, no_remat: bool, imgsz: int) -> bool:
 
 def main(argv=None):
     opt = build_parser().parse_args(argv)
+    if not opt.resume and not (opt.cfg and opt.data):
+        build_parser().error("--cfg and --data are required unless --resume")
     from .common import setup_device
 
     setup_device(opt.device)
