@@ -33,6 +33,28 @@ REF_BROKEN = {
 }
 
 
+def test_anchor_presets_match_reference():
+    """configs/anchors.yaml carries the COCO anchor presets verbatim
+    (reference models/hub/anchors.yaml) in usable `anchors:` row format."""
+    import yaml
+
+    ours_path = Path(__file__).resolve().parents[1] / "dmayolo_tpu/configs/anchors.yaml"
+    ours = yaml.safe_load(ours_path.read_text())
+    assert set(ours) == {
+        "anchors_p5_640", "anchors_p6_640", "anchors_p6_1280", "anchors_p6_1920",
+        "anchors_p7_640", "anchors_p7_1280", "anchors_p7_1920",
+    }
+    for key, rows in ours.items():
+        nl = int(key.split("_")[1][1:]) - 2  # p5 -> 3 levels (P3..P5), etc.
+        assert len(rows) == nl and all(len(r) == 6 for r in rows), key
+
+    ref_path = Path("/root/reference/models/hub/anchors.yaml")
+    if ref_path.exists():
+        ref = yaml.safe_load(ref_path.read_text().replace("  #", " #"))
+        for key in ours:
+            assert ours[key] == ref[key], key
+
+
 @pytest.mark.parametrize("name", sorted(REF_BROKEN), ids=str)
 def test_reference_broken_configs_fail_identically(name):
     ref = Path("/root/reference/models") / f"{name}.yaml"

@@ -100,11 +100,11 @@ def test_find_interrupted_and_resume(run_dir):
     found = list(resume_all.find_interrupted(tmp / "runs"))
     assert len(found) == 1 and found[0][0] == out2 / "last.npz"
 
-    # --resume <ckpt> restores saved options (epochs=2) and continues in place
+    # bare --resume <ckpt> restores EVERY saved option — including cfg/data,
+    # which argparse must not demand on resume (ref train.py:657-669)
     from dmayolo_tpu.cli.train import main
 
-    main(["--cfg", str(cfg_path), "--data", str(data_yaml),
-          "--resume", str(out2 / "last.npz"),
+    main(["--resume", str(out2 / "last.npz"),
           # wrong values on purpose: opt.yaml must win
           "--epochs", "99", "--imgsz", "64"])
     trees2, meta2 = load_checkpoint(out2 / "last.npz")
