@@ -19,7 +19,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-MODEL = None  # set in main()
+MODEL = None    # set in main()
+BATCHER = None  # set in main() under --batch-serve
 
 
 def _parse_multipart(body: bytes, content_type: str):
@@ -52,9 +53,20 @@ class Handler(BaseHTTPRequestHandler):
         except Exception:
             self.send_error(400, "undecodable image")
             return
-        results = MODEL(np.asarray(im.convert("RGB")), size=640)
-        df = results.pandas()
-        payload = df.to_dict(orient="records")
+        rgb = np.asarray(im.convert("RGB"))
+        if BATCHER is not None:
+            # micro-batched path: concurrent requests ride one device batch
+            names = BATCHER.names
+            payload = [
+                {"xmin": float(x1), "ymin": float(y1), "xmax": float(x2),
+                 "ymax": float(y2), "confidence": float(conf),
+                 "class": int(cls), "name": names[int(cls)]}
+                for x1, y1, x2, y2, conf, cls in BATCHER(rgb, timeout=60)
+            ]
+        else:
+            results = MODEL(rgb, size=640)
+            df = results.pandas()
+            payload = df.to_dict(orient="records")
         out = json.dumps(payload).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
@@ -67,17 +79,39 @@ class Handler(BaseHTTPRequestHandler):
 
 
 def main(argv=None):
-    global MODEL
+    global MODEL, BATCHER
     p = argparse.ArgumentParser("dmayolo-restapi")
     p.add_argument("--weights", type=str, default=None)
     p.add_argument("--cfg", type=str, default="yolov5s.yaml")
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--device", type=str, default=None)
+    p.add_argument("--batch-serve", type=int, default=0, metavar="MAX_BATCH",
+                   help="micro-batch concurrent requests up to this device "
+                        "batch (0 = per-request batch-1 like the reference)")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="how long a request waits for batch co-riders")
+    p.add_argument("--imgsz", type=int, default=640)
     opt = p.parse_args(argv)
 
-    from ..hub import load
+    if opt.batch_serve > 0:
+        import jax
 
-    MODEL = load(weights=opt.weights, cfg=opt.cfg, device=opt.device)
+        if opt.device:
+            jax.config.update("jax_platforms", opt.device)
+        from ..cli.common import load_model_from_checkpoint
+        from .batcher import MicroBatcher
+
+        model, params, stats = load_model_from_checkpoint(opt.weights, opt.cfg)
+        BATCHER = MicroBatcher(model, params, stats, imgsz=opt.imgsz,
+                               max_batch=opt.batch_serve,
+                               max_wait_ms=opt.max_wait_ms)
+        print(f"micro-batching up to {opt.batch_serve} reqs/"
+              f"{opt.max_wait_ms} ms; compiling batch buckets ...")
+        BATCHER.warmup()
+    else:
+        from ..hub import load
+
+        MODEL = load(weights=opt.weights, cfg=opt.cfg, device=opt.device)
     server = ThreadingHTTPServer(("0.0.0.0", opt.port), Handler)
     print(f"serving on :{opt.port} (POST /v1/object-detection)")
     server.serve_forever()
