@@ -37,7 +37,7 @@ def pick_tile(n: int, pref: int = 128):
     return None
 
 
-def _kernel(x_hbm, w_ref, o_ref, xt, sem, *, TH, TW, C1, C1P, C2, RH, variant):
+def _kernel(x_hbm, w_ref, o_ref, xt, sem, *, TH, TW, C1, C2, RH, variant):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -76,8 +76,9 @@ def conv3x3_s1(x, w, *, th=None, tw=None, rh=16, variant="im2col",
                out_dtype=None, interpret=False):
     """3x3 / stride-1 / pad-1 NHWC conv, HWIO weights, f32 accumulation.
 
-    Caller must ensure H, W are divisible by the chosen tiles (see
-    `eligible`).  Output dtype defaults to x.dtype.
+    Eligibility: H and W must each be divisible by a tile from
+    `pick_tile` (or the explicit th/tw), and TH by rh — asserted below.
+    Output dtype defaults to x.dtype.
     """
     B, H, W, C1 = x.shape
     kh, kw, wc1, C2 = w.shape
@@ -99,7 +100,7 @@ def conv3x3_s1(x, w, *, th=None, tw=None, rh=16, variant="im2col",
                              memory_space=pltpu.VMEM)
     itemsize = np.dtype(x.dtype).itemsize
     return pl.pallas_call(
-        functools.partial(_kernel, TH=TH, TW=TW, C1=C1, C1P=c1p, C2=C2, RH=rh,
+        functools.partial(_kernel, TH=TH, TW=TW, C1=C1, C2=C2, RH=rh,
                           variant=variant),
         grid=(B, H // TH, W // TW),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), wspec],

@@ -131,12 +131,18 @@ class MicroBatcher:
     def submit(self, img_rgb: np.ndarray) -> _Request:
         """Enqueue one HWC RGB uint8 image; returns a waitable handle."""
         img = np.asarray(img_rgb)
-        if img.ndim != 3 or img.shape[2] != 3:
-            raise ValueError(f"expected HWC RGB image, got shape {img.shape}")
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
+        if img.ndim != 3 or img.shape[2] != 3 or 0 in img.shape:
+            raise ValueError(f"expected non-empty HWC RGB image, got shape {img.shape}")
+        if img.dtype != np.uint8:
+            raise ValueError(f"expected uint8 pixels, got {img.dtype}")
         req = _Request(img)
-        self._q.put(req)
+        # enqueue under the lock: close() sets _closed and puts _STOP under
+        # the same lock, so a request can never land behind the sentinel
+        # (where it would hang forever)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put(req)
         return req
 
     def __call__(self, img_rgb: np.ndarray,
@@ -157,7 +163,7 @@ class MicroBatcher:
             if self._closed:
                 return
             self._closed = True
-        self._q.put(_STOP)
+            self._q.put(_STOP)
         self._thread.join(timeout)
 
     # --------------------------------------------------------------- loop
@@ -183,11 +189,23 @@ class MicroBatcher:
             self._run(batch)
 
     def _run(self, batch: List[_Request]):
+        # per-request preprocessing: a degenerate image fails only its own
+        # request, never the co-riders sharing the device batch
+        sz = self.imgsz
+        ok: List[_Request] = []
+        tiles = []
+        for req in batch:
+            try:
+                tiles.append(letterbox(req.img, (sz, sz), auto=False)[0])
+                ok.append(req)
+            except BaseException as e:
+                req.error = e
+                req.event.set()
+        batch = ok
+        if not batch:
+            return
         try:
-            sz = self.imgsz
-            imgs = np.zeros((len(batch), sz, sz, 3), np.uint8)
-            for i, req in enumerate(batch):
-                imgs[i] = letterbox(req.img, (sz, sz), auto=False)[0]
+            imgs = np.stack(tiles).astype(np.uint8, copy=False)
             bucket = next(b for b in self._bucket_sizes if b >= len(batch))
             if bucket > len(batch):
                 imgs = np.concatenate(

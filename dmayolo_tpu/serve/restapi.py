@@ -21,6 +21,7 @@ import numpy as np
 
 MODEL = None    # set in main()
 BATCHER = None  # set in main() under --batch-serve
+IMGSZ = 640     # set in main()
 
 
 def _parse_multipart(body: bytes, content_type: str):
@@ -54,19 +55,23 @@ class Handler(BaseHTTPRequestHandler):
             self.send_error(400, "undecodable image")
             return
         rgb = np.asarray(im.convert("RGB"))
-        if BATCHER is not None:
-            # micro-batched path: concurrent requests ride one device batch
-            names = BATCHER.names
-            payload = [
-                {"xmin": float(x1), "ymin": float(y1), "xmax": float(x2),
-                 "ymax": float(y2), "confidence": float(conf),
-                 "class": int(cls), "name": names[int(cls)]}
-                for x1, y1, x2, y2, conf, cls in BATCHER(rgb, timeout=60)
-            ]
-        else:
-            results = MODEL(rgb, size=640)
-            df = results.pandas()
-            payload = df.to_dict(orient="records")
+        try:
+            if BATCHER is not None:
+                # micro-batched path: concurrent requests ride one device batch
+                names = BATCHER.names
+                payload = [
+                    {"xmin": float(x1), "ymin": float(y1), "xmax": float(x2),
+                     "ymax": float(y2), "confidence": float(conf),
+                     "class": int(cls), "name": names[int(cls)]}
+                    for x1, y1, x2, y2, conf, cls in BATCHER(rgb, timeout=60)
+                ]
+            else:
+                results = MODEL(rgb, size=IMGSZ)
+                df = results.pandas()
+                payload = df.to_dict(orient="records")
+        except Exception as e:  # a failed inference is a 500, not a dropped socket
+            self.send_error(500, f"inference failed: {type(e).__name__}")
+            return
         out = json.dumps(payload).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
@@ -91,8 +96,17 @@ def main(argv=None):
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="how long a request waits for batch co-riders")
     p.add_argument("--imgsz", type=int, default=640)
+    # detection contract of the batched path, defaulted to match the
+    # per-request AutoShape path (conf 0.25 / iou 0.45 / max_det 1000);
+    # max-nms is the pre-NMS top-k budget (candidates above conf)
+    p.add_argument("--conf-thres", type=float, default=0.25)
+    p.add_argument("--iou-thres", type=float, default=0.45)
+    p.add_argument("--max-det", type=int, default=1000)
+    p.add_argument("--max-nms", type=int, default=4096)
     opt = p.parse_args(argv)
 
+    global IMGSZ
+    IMGSZ = opt.imgsz
     if opt.batch_serve > 0:
         import jax
 
@@ -104,7 +118,10 @@ def main(argv=None):
         model, params, stats = load_model_from_checkpoint(opt.weights, opt.cfg)
         BATCHER = MicroBatcher(model, params, stats, imgsz=opt.imgsz,
                                max_batch=opt.batch_serve,
-                               max_wait_ms=opt.max_wait_ms)
+                               max_wait_ms=opt.max_wait_ms,
+                               conf_thres=opt.conf_thres,
+                               iou_thres=opt.iou_thres,
+                               max_det=opt.max_det, max_nms=opt.max_nms)
         print(f"micro-batching up to {opt.batch_serve} reqs/"
               f"{opt.max_wait_ms} ms; compiling batch buckets ...")
         BATCHER.warmup()
@@ -112,6 +129,8 @@ def main(argv=None):
         from ..hub import load
 
         MODEL = load(weights=opt.weights, cfg=opt.cfg, device=opt.device)
+        MODEL.conf, MODEL.iou, MODEL.max_det = (
+            opt.conf_thres, opt.iou_thres, opt.max_det)
     server = ThreadingHTTPServer(("0.0.0.0", opt.port), Handler)
     print(f"serving on :{opt.port} (POST /v1/object-detection)")
     server.serve_forever()

@@ -119,10 +119,30 @@ def test_concurrent_threads(batcher):
 def test_bad_input_rejected_and_batcher_survives(batcher):
     with pytest.raises(ValueError):
         batcher.submit(np.zeros((10, 10), np.uint8))  # not HWC
-    # still serving after the rejection
+    with pytest.raises(ValueError):
+        batcher.submit(np.zeros((0, 10, 3), np.uint8))  # empty dim
+    with pytest.raises(ValueError):
+        batcher.submit(np.zeros((10, 10, 3), np.float32))  # not uint8
+    # still serving after the rejections
     im = _imgs(1, seed=3)[0]
     np.testing.assert_allclose(batcher(im, timeout=120), _oracle(batcher, im),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_preprocess_error_isolated_to_its_request(batcher):
+    # an image that passes submit() but fails inside letterbox (extreme
+    # aspect ratio -> 0-height resize) must fail ONLY its own request,
+    # not the co-riders sharing its batch
+    good = _imgs(2, seed=4)
+    bad = np.zeros((1, 40000, 3), np.uint8)
+    reqs = [batcher.submit(good[0]), batcher.submit(bad),
+            batcher.submit(good[1])]
+    a = reqs[0].result(timeout=120)
+    with pytest.raises(Exception):
+        reqs[1].result(timeout=120)
+    b = reqs[2].result(timeout=120)
+    np.testing.assert_allclose(a, _oracle(batcher, good[0]), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(b, _oracle(batcher, good[1]), rtol=1e-5, atol=1e-4)
 
 
 def test_buckets():
