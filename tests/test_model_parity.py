@@ -108,6 +108,9 @@ def test_tdetect_parity():
         "ghostnet.yaml",          # GhostV2
         "yolo_cspcm.yaml",        # ConvMixer
         "DM.yaml",                # DM/SM downsampling family
+        "yolov5l-xs-tr-cbam-spp-bifpn.yaml",  # CBAM + C3TR + SPP + BiFPN
+        "C3CASPD6.yaml",          # Adapt_Add2 weighted fusion
+        "hub/yolov5s-ghost.yaml",  # GhostConv/GhostBottleneck v1 backbone
     ],
 )
 def test_exotic_config_parity(cfg):
