@@ -24,8 +24,9 @@ import jax.numpy as jnp
 from ..core.iou import bbox_iou
 
 
-def smooth_bce(eps: float = 0.0):
-    """ref: utils/loss.py:13-17."""
+def smooth_bce(eps: float = 0.1):
+    """ref: utils/loss.py:13-17 (same eps=0.1 default; ComputeLoss always
+    passes hyp label_smoothing explicitly, like the reference)."""
     return 1.0 - 0.5 * eps, 0.5 * eps
 
 
