@@ -70,6 +70,39 @@ def nms_single(boxes, scores, iou_thres: float, max_det: int = 300):
     return keep_idx, keep_valid
 
 
+def nms_variant_single(boxes, scores, iou_thres: float, max_det: int = 300,
+                       class_nms: str = "SIoU"):
+    """Greedy NMS with a selectable IoU variant (one image).
+
+    Reference surface: the custom `NMS` alternative (utils/general.py:
+    727-761). Supported class_nms: IoU / GIoU / DIoU / CIoU / SIoU /
+    EIoU. Note the reference sets the SIoU/EIoU flags but never passes
+    them into bbox_iou (general.py:749-758) — and its general.py bbox_iou
+    doesn't even accept EIoU — so both silently degrade to plain IoU
+    upstream; ours honors them. GIoU/DIoU/CIoU are golden-identical to
+    the reference.
+
+    Args/returns as `nms_single` (scores must carry NEG_INF for invalid
+    candidates); vmap over the batch dim for batched use.
+    """
+    from .iou import bbox_iou
+
+    key = class_nms.lower()
+    flags = {v: key == v.lower() for v in ("GIoU", "DIoU", "CIoU", "SIoU", "EIoU")}
+
+    def step(carry, _):
+        live_scores = carry
+        best = jnp.argmax(live_scores)
+        valid = live_scores[best] > NEG_INF / 2
+        iou = bbox_iou(boxes[best][None], boxes, **flags)
+        suppress = (iou > iou_thres) & valid
+        suppress = suppress.at[best].set(valid)
+        return jnp.where(suppress, NEG_INF, live_scores), (best.astype(jnp.int32), valid)
+
+    _, (keep_idx, keep_valid) = jax.lax.scan(step, scores, None, length=max_det)
+    return keep_idx, keep_valid
+
+
 def _fixpoint_keep(iou, valid, iou_thres: float):
     """Greedy-keep flags via the suppression-DAG fixpoint on a dense IoU.
 
@@ -291,6 +324,7 @@ def nms_parts(
         "max_nms",
         "backend",
         "return_src",
+        "merge",
     ),
 )
 def batched_nms(
@@ -304,6 +338,7 @@ def batched_nms(
     class_mask=None,
     backend: str = "scan",
     return_src: bool = False,
+    merge: bool = False,
 ):
     """Full post-processing: (B, N, 5+nc) raw decode -> (B, max_det, 6) dets.
 
@@ -388,6 +423,22 @@ def batched_nms(
     out_boxes = jnp.take_along_axis(top_boxes, keep_idx[..., None], axis=1)
     out_scores = jnp.take_along_axis(top_scores, keep_idx, axis=1)
     out_cls = jnp.take_along_axis(top_cls, keep_idx, axis=1)
+    if merge:
+        # merge-NMS (reference general.py:712-718, the `merge=True` branch):
+        # each kept box becomes the conf-weighted mean of every candidate
+        # overlapping it > iou_thres (overlap measured on class-offset
+        # boxes, mean over the raw xyxy boxes); `redundant` drops picks
+        # with no second supporting candidate. The reference's 1<n<3000
+        # gate is a torch-runtime guard, not protocol — our dense form has
+        # no such limit.
+        live = top_scores > NEG_INF / 2  # real above-conf candidates only
+        kept_off = jnp.take_along_axis(nms_boxes, keep_idx[..., None], axis=1)
+        overlap = (_pairwise_iou(kept_off, nms_boxes) > iou_thres) & live[..., None, :]
+        w = overlap.astype(jnp.float32) * jnp.maximum(top_scores, 0.0)[..., None, :]
+        out_boxes = jnp.einsum(
+            "bdk,bkc->bdc", w, top_boxes.astype(jnp.float32)
+        ) / (jnp.sum(w, axis=-1, keepdims=True) + 1e-12)
+        keep_valid = keep_valid & (jnp.sum(overlap, axis=-1) > 1)  # redundant
     dets = jnp.concatenate(
         [out_boxes, out_scores[..., None], out_cls[..., None]], axis=-1
     )
