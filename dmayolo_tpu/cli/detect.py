@@ -40,6 +40,14 @@ def build_parser():
     p.add_argument("--save-conf", action="store_true")
     p.add_argument("--nosave", action="store_true")
     p.add_argument("--save-crop", action="store_true")
+    p.add_argument("--classify", type=str, default=None,
+                   help="second-stage classifier checkpoint: keep only "
+                        "detections whose class the classifier agrees with "
+                        "(ref detect.py:103-104, 253-255 apply_classifier; "
+                        "dead-by-default upstream)")
+    p.add_argument("--classify-cfg", type=str, default=None,
+                   help="model yaml for --classify when the checkpoint "
+                        "doesn't embed one (must end in a Classify head)")
     p.add_argument("--visualize", action="store_true", help="dump feature-map PNGs for the first image")
     p.add_argument("--agnostic-nms", action="store_true")
     p.add_argument("--augment", action="store_true")
@@ -104,6 +112,12 @@ def main(argv=None):
     class_mask = None
     if opt.classes is not None:
         class_mask = jnp.asarray(np.isin(np.arange(model.nc), opt.classes))
+
+    classifier_fn = None
+    if opt.classify:
+        from ..eval.second_stage import load_second_stage
+
+        classifier_fn = load_second_stage(opt.classify, opt.classify_cfg)
 
     @jax.jit
     def _infer(p, s, x):
@@ -187,6 +201,10 @@ def main(argv=None):
 
         for i, (f, im0) in enumerate(zip(chunk, ims0)):
             d = dets[i][valid[i]]
+            if classifier_fn is not None:  # ref detect.py:253-255
+                from ..eval.second_stage import apply_classifier
+
+                d = apply_classifier([d], classifier_fn, x.shape[1:3], [im0])[0]
             d[:, :4] = _scale_to_native(d[:, :4], x.shape[1:3], im0.shape[:2])
             n_done += 1
             imc = im0.copy() if opt.save_crop else None  # clean copy pre-annotation
@@ -213,12 +231,13 @@ def main(argv=None):
                     print("--view-img: no display available, skipping")
                     opt.view_img = False
             if opt.save_crop:
+                from ..eval.second_stage import save_one_box
+
                 for j, (x1, y1, x2, y2, conf, cls) in enumerate(d):
-                    crop = imc[int(max(y1, 0)):int(y2), int(max(x1, 0)):int(x2)]
-                    if crop.size:
-                        cdir = out / "crops" / names[int(cls)]
-                        cdir.mkdir(parents=True, exist_ok=True)
-                        cv2.imwrite(str(cdir / f"{f.stem}_{j}.jpg"), crop)
+                    # gain/pad margin + BGR like ref detect.py save_one_box call
+                    cdir = out / "crops" / names[int(cls)]
+                    save_one_box((x1, y1, x2, y2), imc,
+                                 file=cdir / f"{f.stem}_{j}.jpg", BGR=True)
             if opt.save_txt:
                 h, w = im0.shape[:2]
                 lines = []

@@ -205,6 +205,10 @@ class DetectionModel(Module):
             elif name == "DMConv":
                 c1, c2 = ch[f], 4 * args[0]
                 args = [c1, args[0]]
+            elif name == "Classify":
+                # classifier head rows [f, 1, Classify, [nc]] (common.py:893)
+                c1, c2 = ch[f], args[0]
+                args = [c1, c2, *args[1:]]
             else:
                 c2 = ch[f] if isinstance(f, int) else ch[f[0]]
 

@@ -257,13 +257,19 @@ class Detections:
         return save_dir
 
     def crop(self, save_dir=None):
-        """Per-detection crops (optionally saved)."""
+        """Per-detection crops with save_one_box's gain/pad margin
+        (ref common.py:825-828 -> general.py:916), optionally saved."""
         import cv2
+
+        from .eval.second_stage import expand_boxes
 
         crops = []
         for im, d in zip(self.imgs, self.xyxy):
             for j, (x1, y1, x2, y2, conf, k) in enumerate(d):
-                crop = im[int(y1):int(y2), int(x1):int(x2)]
+                h, w = im.shape[:2]
+                ex1, ey1, ex2, ey2 = expand_boxes((x1, y1, x2, y2))[0]
+                crop = im[int(max(ey1, 0)):int(min(ey2, h)),
+                          int(max(ex1, 0)):int(min(ex2, w))]
                 crops.append({"box": (x1, y1, x2, y2), "conf": conf,
                               "cls": int(k), "label": self.names[int(k)], "im": crop})
                 if save_dir:
