@@ -151,7 +151,9 @@ class AutoShape:
             d = dets[i][valid[i]].copy()
             d[:, :4] = _scale_to_native(d[:, :4], x.shape[1:3], s0)
             per_img.append(d)
-        return Detections(arrays, per_img, [str(i) for i in range(len(items))], self.names)
+        files = [Path(im).name if isinstance(im, (str, Path)) else f"image{i}.jpg"
+                 for i, im in enumerate(items)]
+        return Detections(arrays, per_img, files, self.names)
 
 
 class AutoShapeEnsemble(AutoShape):
@@ -194,8 +196,8 @@ class AutoShapeEnsemble(AutoShape):
 
 
 class Detections:
-    """Inference results: print/pandas/crop/render/save.
-    ref: models/common.py:795-891."""
+    """Inference results: print/pandas/crop/render/save/show/tolist and the
+    xyxy/xywh/xyxyn/xywhn box views.  ref: models/common.py:795-891."""
 
     def __init__(self, imgs: List[np.ndarray], dets: List[np.ndarray], files, names):
         self.imgs = imgs
@@ -203,26 +205,58 @@ class Detections:
         self.files = files
         self.names = names
         self.n = len(imgs)
+        # normalisation vector per image (w, h, w, h, 1, 1) — ref common.py:800
+        gn = [np.array([im.shape[1], im.shape[0], im.shape[1], im.shape[0], 1, 1],
+                       np.float32) for im in imgs]
+        self.xywh = [self._to_xywh(d) for d in dets]
+        self.xyxyn = [d / g for d, g in zip(self.xyxy, gn)]
+        self.xywhn = [d / g for d, g in zip(self.xywh, gn)]
+
+    @staticmethod
+    def _to_xywh(d):
+        out = np.array(d, np.float32, copy=True).reshape(-1, 6)
+        x1, y1, x2, y2 = out[:, 0].copy(), out[:, 1].copy(), out[:, 2].copy(), out[:, 3].copy()
+        out[:, 0], out[:, 1] = (x1 + x2) / 2, (y1 + y2) / 2
+        out[:, 2], out[:, 3] = x2 - x1, y2 - y1
+        return out
 
     def __len__(self):
         return self.n
 
     def pandas(self):
-        """DataFrame per image with xmin/ymin/xmax/ymax/confidence/class/name."""
+        """Copy whose xyxy/xyxyn/xywh/xywhn are per-image DataFrames — the
+        canonical `results.pandas().xyxy[0]` idiom (ref common.py:874-882)."""
+        import copy as _copy
+
         import pandas as pd
 
-        out = []
-        for d in self.xyxy:
-            rows = [
-                dict(
-                    xmin=float(x1), ymin=float(y1), xmax=float(x2), ymax=float(y2),
-                    confidence=float(c), **{"class": int(k)}, name=self.names[int(k)],
-                )
-                for x1, y1, x2, y2, c, k in d
-            ]
-            out.append(pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax",
-                                                   "confidence", "class", "name"]))
-        return out[0] if self.n == 1 else out
+        new = _copy.copy(self)
+        ca = ["xmin", "ymin", "xmax", "ymax", "confidence", "class", "name"]
+        cb = ["xcenter", "ycenter", "width", "height", "confidence", "class", "name"]
+        for k, cols in zip(["xyxy", "xyxyn", "xywh", "xywhn"], [ca, ca, cb, cb]):
+            frames = []
+            for d in getattr(self, k):
+                rows = [list(map(float, r[:5])) + [int(r[5]), self.names[int(r[5])]]
+                        for r in np.asarray(d)]
+                frames.append(pd.DataFrame(rows, columns=cols))
+            setattr(new, k, frames)
+        return new
+
+    def tolist(self):
+        """Per-image single-item Detections (ref common.py:884-890)."""
+        return [Detections([self.imgs[i]], [self.xyxy[i]], [self.files[i]],
+                           self.names) for i in range(self.n)]
+
+    def show(self):
+        """Display annotated images (PIL .show; headless-safe no-op on failure)."""
+        from PIL import Image
+
+        for im in self.render():
+            try:
+                Image.fromarray(im.astype(np.uint8)).show()
+            except Exception:
+                print("show(): no display available")
+                return
 
     def print(self):
         for i, d in enumerate(self.xyxy):
@@ -253,7 +287,8 @@ class Detections:
         save_dir = Path(save_dir)
         save_dir.mkdir(parents=True, exist_ok=True)
         for i, im in enumerate(self.render()):
-            cv2.imwrite(str(save_dir / f"{self.files[i]}.jpg"), im[:, :, ::-1])
+            cv2.imwrite(str((save_dir / self.files[i]).with_suffix(".jpg")),
+                        im[:, :, ::-1])
         return save_dir
 
     def crop(self, save_dir=None):

@@ -67,7 +67,8 @@ class Handler(BaseHTTPRequestHandler):
                 ]
             else:
                 results = MODEL(rgb, size=IMGSZ)
-                df = results.pandas()
+                # reference restapi.py: results.pandas().xyxy[0].to_json()
+                df = results.pandas().xyxy[0]
                 payload = df.to_dict(orient="records")
         except Exception as e:  # a failed inference is a 500, not a dropped socket
             self.send_error(500, f"inference failed: {type(e).__name__}")
