@@ -118,6 +118,7 @@ def main(argv=None):
         from ..eval.second_stage import load_second_stage
 
         classifier_fn = load_second_stage(opt.classify, opt.classify_cfg)
+    from ..eval.second_stage import apply_classifier, save_one_box  # noqa: F401
 
     @jax.jit
     def _infer(p, s, x):
@@ -160,12 +161,12 @@ def main(argv=None):
             print(f"--update: stripped optimizer state from {opt.weights}")
 
     if "," in str(opt.source) or str(opt.source).endswith(".streams"):
-        res = _run_streams(opt, infer, names, out)
+        res = _run_streams(opt, infer, names, out, classifier_fn)
         _maybe_update()
         return res
     src = Path(opt.source)
     if src.suffix.lower() in VID_EXTS or str(opt.source).isdigit() or "://" in str(opt.source):
-        res = _run_video(opt, infer, names, out)
+        res = _run_video(opt, infer, names, out, classifier_fn)
         _maybe_update()
         return res
     files = _gather_sources(src)
@@ -202,8 +203,6 @@ def main(argv=None):
         for i, (f, im0) in enumerate(zip(chunk, ims0)):
             d = dets[i][valid[i]]
             if classifier_fn is not None:  # ref detect.py:253-255
-                from ..eval.second_stage import apply_classifier
-
                 d = apply_classifier([d], classifier_fn, x.shape[1:3], [im0])[0]
             d[:, :4] = _scale_to_native(d[:, :4], x.shape[1:3], im0.shape[:2])
             n_done += 1
@@ -231,8 +230,6 @@ def main(argv=None):
                     print("--view-img: no display available, skipping")
                     opt.view_img = False
             if opt.save_crop:
-                from ..eval.second_stage import save_one_box
-
                 for j, (x1, y1, x2, y2, conf, cls) in enumerate(d):
                     # gain/pad margin + BGR like ref detect.py save_one_box call
                     cdir = out / "crops" / names[int(cls)]
@@ -258,7 +255,7 @@ if __name__ == "__main__":
     main()
 
 
-def _run_video(opt, infer, names, out):
+def _run_video(opt, infer, names, out, classifier_fn=None):
     """Video file / webcam index / stream URL inference (reference
     LoadImages video branch + LoadStreams, datasets.py:158-367)."""
     import cv2
@@ -266,6 +263,7 @@ def _run_video(opt, infer, names, out):
     import jax.numpy as jnp
 
     from ..data.augment import letterbox
+    from ..eval.second_stage import apply_classifier
     from ..eval.validator import _scale_to_native
 
     src = int(opt.source) if str(opt.source).isdigit() else opt.source
@@ -291,6 +289,8 @@ def _run_video(opt, infer, names, out):
         x = cv2.cvtColor(lb, cv2.COLOR_BGR2RGB)[None]
         dets, valid = infer(jnp.asarray(np.broadcast_to(x, (max(1, 1),) + x.shape[1:]).copy()))
         d = np.asarray(dets)[0][np.asarray(valid)[0]]
+        if classifier_fn is not None:  # ref detect.py:253-255
+            d = apply_classifier([d], classifier_fn, lb.shape[:2], [frame])[0]
         d[:, :4] = _scale_to_native(d[:, :4], lb.shape[:2], frame.shape[:2])
         for x1, y1, x2, y2, conf, cls in d:
             c = int(cls)
@@ -319,7 +319,7 @@ def _run_video(opt, infer, names, out):
     return out
 
 
-def _run_streams(opt, infer, names, out):
+def _run_streams(opt, infer, names, out, classifier_fn=None):
     """Multiple concurrent sources batched through one program per step —
     reference LoadStreams (datasets.py:282-367: one reader thread per
     source, batched inference).  Sources: comma-separated, or a .streams
@@ -332,6 +332,7 @@ def _run_streams(opt, infer, names, out):
     import jax.numpy as jnp
 
     from ..data.augment import letterbox
+    from ..eval.second_stage import apply_classifier
     from ..eval.validator import _scale_to_native
 
     srcs = (
@@ -378,7 +379,11 @@ def _run_streams(opt, infer, names, out):
             dets, valid = np.asarray(dets), np.asarray(valid)
             n_steps += 1
             if n_steps % 10 == 0:
-                counts = [int(valid[i].sum()) for i in range(len(batch0))]
+                ds = [dets[i][valid[i]] for i in range(len(batch0))]
+                if classifier_fn is not None:  # ref detect.py:253-255
+                    ds = apply_classifier(ds, classifier_fn,
+                                          lbs[0].shape[:2], batch0)
+                counts = [len(d) for d in ds]
                 print(f"step {n_steps}: dets per stream {counts}", flush=True)
             if not any(alive):
                 break

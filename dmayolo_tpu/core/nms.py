@@ -28,6 +28,7 @@ from .boxes import xywh2xyxy
 
 MAX_WH = 4096.0  # class-offset stride, matches reference max_wh (general.py:654)
 NEG_INF = -1e10
+_MERGE_GATE_MAX = 3000  # merge-NMS candidate-count gate, ref general.py:712 (3E3)
 
 
 def nms_single(boxes, scores, iou_thres: float, max_det: int = 300):
@@ -428,17 +429,25 @@ def batched_nms(
         # each kept box becomes the conf-weighted mean of every candidate
         # overlapping it > iou_thres (overlap measured on class-offset
         # boxes, mean over the raw xyxy boxes); `redundant` drops picks
-        # with no second supporting candidate. The reference's 1<n<3000
-        # gate is a torch-runtime guard, not protocol — our dense form has
-        # no such limit.
+        # with no second supporting candidate. Both apply only inside the
+        # reference's per-image 1 < n < 3000 candidate-count gate — outside
+        # it the plain-NMS picks pass through unmerged (so a lone detection
+        # is never dropped, and dense eval-protocol images skip merging
+        # exactly like upstream).
         live = top_scores > NEG_INF / 2  # real above-conf candidates only
+        n_live = jnp.sum(live, axis=-1)  # (B,) = reference's n
+        gate = (n_live > 1) & (n_live < _MERGE_GATE_MAX)
         kept_off = jnp.take_along_axis(nms_boxes, keep_idx[..., None], axis=1)
         overlap = (_pairwise_iou(kept_off, nms_boxes) > iou_thres) & live[..., None, :]
         w = overlap.astype(jnp.float32) * jnp.maximum(top_scores, 0.0)[..., None, :]
-        out_boxes = jnp.einsum(
+        merged = jnp.einsum(
             "bdk,bkc->bdc", w, top_boxes.astype(jnp.float32)
         ) / (jnp.sum(w, axis=-1, keepdims=True) + 1e-12)
-        keep_valid = keep_valid & (jnp.sum(overlap, axis=-1) > 1)  # redundant
+        out_boxes = jnp.where(gate[:, None, None], merged, out_boxes)
+        keep_valid = jnp.where(
+            gate[:, None], keep_valid & (jnp.sum(overlap, axis=-1) > 1),  # redundant
+            keep_valid,
+        )
     dets = jnp.concatenate(
         [out_boxes, out_scores[..., None], out_cls[..., None]], axis=-1
     )

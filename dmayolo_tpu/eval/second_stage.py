@@ -110,7 +110,7 @@ def apply_classifier(dets, classifier_fn, lb_shape, im0s, size: int = 224):
             out.append(d[:0])
             continue
         logits = np.asarray(classifier_fn(np.stack(ims)))
-        cls2 = logits[:, : logits.shape[1]].argmax(1)
+        cls2 = logits.argmax(1)
         agree = np.zeros(d.shape[0], bool)
         agree[ok] = d[ok, 5].astype(int) == cls2[: int(ok.sum())]
         out.append(d[agree])

@@ -214,10 +214,10 @@ class Detections:
 
     @staticmethod
     def _to_xywh(d):
+        from .eval.second_stage import _xyxy2xywh_np
+
         out = np.array(d, np.float32, copy=True).reshape(-1, 6)
-        x1, y1, x2, y2 = out[:, 0].copy(), out[:, 1].copy(), out[:, 2].copy(), out[:, 3].copy()
-        out[:, 0], out[:, 1] = (x1 + x2) / 2, (y1 + y2) / 2
-        out[:, 2], out[:, 3] = x2 - x1, y2 - y1
+        out[:, :4] = _xyxy2xywh_np(out[:, :4])
         return out
 
     def __len__(self):

@@ -5,7 +5,7 @@ Usage:
     model = hubconf.yolov5s(nc=80)        # fresh weights
     model = hubconf.custom("runs/train/exp/best.npz")
     results = model("image.jpg")
-    results.pandas()
+    results.pandas().xyxy[0]              # per-image DataFrame (ref idiom)
 """
 from dmayolo_tpu.hub import load
 

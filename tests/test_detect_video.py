@@ -25,6 +25,28 @@ def tiny_ckpt(tmp_path_factory):
     return p_dir / "w.npz"
 
 
+@pytest.fixture(scope="module")
+def tiny_cls_ckpt(tmp_path_factory):
+    import jax
+
+    from dmayolo_tpu.graph import DetectionModel
+    from dmayolo_tpu.utils.checkpoint import save_checkpoint
+    from tests.test_e2e_train import TINY_CFG
+
+    cfg = {
+        "nc": TINY_CFG["nc"], "depth_multiple": 1.0, "width_multiple": 1.0,
+        "anchors": [[10, 13, 16, 30, 33, 23]],
+        "backbone": [[-1, 1, "Conv", [16, 3, 2]]],
+        "head": [[-1, 1, "Classify", ["nc"]]],
+    }
+    p_dir = tmp_path_factory.mktemp("cls")
+    m = DetectionModel(cfg)
+    p, s = m.init(jax.random.PRNGKey(1))
+    save_checkpoint(p_dir / "c.npz", params=p, stats=s,
+                    meta={"cfg": cfg, "nc": cfg["nc"]})
+    return p_dir / "c.npz"
+
+
 def _write_video(path, n_frames=6, size=(160, 120), seed=0):
     rng = np.random.default_rng(seed)
     vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10, size)
@@ -34,7 +56,7 @@ def _write_video(path, n_frames=6, size=(160, 120), seed=0):
     vw.release()
 
 
-def test_detect_video_file(tiny_ckpt, tmp_path):
+def test_detect_video_file(tiny_ckpt, tiny_cls_ckpt, tmp_path):
     from dmayolo_tpu.cli.detect import main as detect_main
 
     vid = tmp_path / "clip.mp4"
@@ -42,6 +64,7 @@ def test_detect_video_file(tiny_ckpt, tmp_path):
     out = detect_main([
         "--weights", str(tiny_ckpt), "--source", str(vid),
         "--imgsz", "128", "--conf-thres", "0.001",
+        "--classify", str(tiny_cls_ckpt),  # second stage on the video path
         "--project", str(tmp_path / "runs"), "--name", "v", "--exist-ok",
         "--device", "cpu",
     ])

@@ -132,7 +132,11 @@ def _merge_reference(pred, conf_thres, iou_thres, max_det):
         iou = iou_mat(off[i:i + 1], off[rest])[0]
         alive = rest[iou <= iou_thres].tolist()
     keep = np.asarray(keep[:max_det], int)
-    # merge: weighted mean over ALL candidates overlapping each kept box
+    # merge only inside the reference's 1 < n < 3000 gate (general.py:712)
+    n = boxes.shape[0]
+    if not (1 < n < 3000):
+        return boxes[keep], scores[keep], cls[keep]
+    # weighted mean over ALL candidates overlapping each kept box
     sup = iou_mat(off[keep], off) > iou_thres
     w = sup * scores[None, :]
     merged = (w @ boxes) / w.sum(1, keepdims=True)
@@ -169,3 +173,32 @@ def test_merge_false_unchanged():
     a = batched_nms(jnp.asarray(pred), conf_thres=0.1, max_det=50)
     b = batched_nms(jnp.asarray(pred), conf_thres=0.1, max_det=50, merge=False)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_merge_keeps_lone_detection():
+    # reference gate: n == 1 means no merge and no redundant filter — the
+    # single candidate must survive (unmerged)
+    pred = np.zeros((1, 50, 9), np.float32)
+    pred[0, 0] = [50, 50, 20, 20, 0.9, 0.9, 0.02, 0.02, 0.02]
+    dets, valid = batched_nms(jnp.asarray(pred), conf_thres=0.25,
+                              iou_thres=0.45, max_det=10, merge=True)
+    got = np.asarray(dets)[0][np.asarray(valid)[0]]
+    assert got.shape[0] == 1
+    np.testing.assert_allclose(got[0, :4], [40, 40, 60, 60], atol=1e-3)
+
+
+def test_merge_gate_off_above_max(monkeypatch):
+    # above the gate the reference skips merging entirely: output must be
+    # identical to merge=False. Lower the gate constant so a small batch
+    # exercises the >= branch (different conf_thres forces a fresh trace).
+    import dmayolo_tpu.core.nms as nms_mod
+
+    monkeypatch.setattr(nms_mod, "_MERGE_GATE_MAX", 8)
+    rng = np.random.default_rng(11)
+    pred = rng.uniform(0, 1, (2, 120, 9)).astype(np.float32)
+    pred[..., :2] *= 100
+    pred[..., 2:4] = pred[..., 2:4] * 30 + 5
+    a = batched_nms(jnp.asarray(pred), conf_thres=0.123, max_det=50, merge=True)
+    b = batched_nms(jnp.asarray(pred), conf_thres=0.123, max_det=50, merge=False)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
