@@ -118,7 +118,7 @@ def main(argv=None):
         from ..eval.second_stage import load_second_stage
 
         classifier_fn = load_second_stage(opt.classify, opt.classify_cfg)
-    from ..eval.second_stage import apply_classifier, save_one_box  # noqa: F401
+    from ..eval.second_stage import apply_classifier, save_one_box
 
     @jax.jit
     def _infer(p, s, x):
