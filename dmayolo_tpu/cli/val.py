@@ -164,13 +164,17 @@ def main(argv=None):
             # the same category-id map the prediction writer used
             gt = build_coco_gt_from_yolo(
                 split, nc=int(data["nc"]), names=data.get("names"),
-                class_map=class_map)
+                class_map=class_map, single_cls=opt.single_cls)
             anno_json = out / "coco_gt.json"
             with open(anno_json, "w") as f:
                 _json.dump(gt, f)
             print(f"built COCO GT from YOLO labels -> {anno_json} "
                   f"({len(gt['annotations'])} annotations)")
-        coco_res = evaluate_coco(pred_json, anno_json)
+        # scope COCOeval to the validated images: against full official
+        # annotations, unscoped eval counts every other image's GT as FNs
+        # (ref val.py:334 eval.params.imgIds)
+        coco_res = evaluate_coco(pred_json, anno_json,
+                                 img_ids=res.used_image_ids)
         if coco_res is not None:
             print(f"COCOeval: mAP@.5:.95={coco_res[0]:.4f} mAP@.5={coco_res[1]:.4f}")
     print(res.summary())

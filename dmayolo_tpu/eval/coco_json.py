@@ -46,8 +46,12 @@ def image_id_map(im_files: Sequence[str]) -> Dict[str, object]:
     files = [str(f) for f in im_files]
     stems = [Path(f).stem for f in files]
     if len(set(stems)) == len(files):
-        return {f: (int(s) if s.isnumeric() else s)
-                for f, s in zip(files, stems)}
+        # isdecimal (not isnumeric: int() rejects unicode numerics like '²');
+        # the CONVERTED ids must stay unique too ('7' vs '007' both -> 7)
+        ids = [int(s) if s.isdecimal() else s for s in stems]
+        if len(set(map(str, ids))) == len(ids):
+            return dict(zip(files, ids))
+        return dict(zip(files, stems))
     root = os.path.commonpath(files) if len(files) > 1 else os.path.dirname(files[0])
     return {
         f: str(Path(os.path.relpath(f, root)).with_suffix("")).replace(os.sep, "/")
@@ -63,7 +67,7 @@ def append_coco_json(jdict: List[dict], dets_native: np.ndarray,
     COCO result entries.  ref: val.py:50-60.  Pass image_id from
     image_id_map() when stems may repeat across directories."""
     if image_id is None:
-        image_id = int(stem) if stem.isnumeric() else stem
+        image_id = int(stem) if stem.isdecimal() else stem
     d = np.asarray(dets_native, np.float64)
     for x1, y1, x2, y2, conf, cls in d:
         jdict.append({
@@ -83,7 +87,8 @@ def write_coco_json(jdict: List[dict], path) -> Path:
 
 
 def build_coco_gt_from_yolo(val_path, nc: int, names=None,
-                            class_map: Optional[Sequence[int]] = None) -> Dict:
+                            class_map: Optional[Sequence[int]] = None,
+                            single_cls: bool = False) -> Dict:
     """COCO-format GT dict from a YOLO-layout dataset (images + labels txt).
 
     Lets the COCO protocol run on ANY dataset (VisDrone, UAVDT, custom) —
@@ -108,6 +113,8 @@ def build_coco_gt_from_yolo(val_path, nc: int, names=None,
         images.append({"id": iid, "file_name": Path(f).name,
                        "height": int(h), "width": int(w)})
         for cls, cx, cy, bw, bh in np.asarray(lb, np.float64).reshape(-1, 5):
+            if single_cls:  # match the --single-cls protocol (all classes 0)
+                cls = 0
             x1, y1 = (cx - bw / 2) * w, (cy - bh / 2) * h
             cat = cmap[int(cls)]
             annotations.append({

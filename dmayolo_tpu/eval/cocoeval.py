@@ -61,8 +61,17 @@ class NpCOCOeval:
             self.cat_ids = sorted({a["category_id"] for a in gt["annotations"]})
 
         self._gts = defaultdict(list)
-        for a in gt["annotations"]:
+        # dtm/gtm bookkeeping needs positive unique gt ids: 0 means
+        # "unmatched" (the pycocotools convention), so a third-party json
+        # with missing, zero, or duplicate annotation ids would silently
+        # score matched dets as FPs — reassign internal ids in that case
+        raw_ids = [a.get("id") for a in gt["annotations"]]
+        ok_ids = (all(isinstance(i, int) and i > 0 for i in raw_ids)
+                  and len(set(raw_ids)) == len(raw_ids))
+        for i, a in enumerate(gt["annotations"]):
             a = dict(a)
+            if not ok_ids:
+                a["id"] = i + 1
             a.setdefault("iscrowd", 0)
             a.setdefault("area", a["bbox"][2] * a["bbox"][3])
             a.setdefault("ignore", 0)
@@ -70,7 +79,7 @@ class NpCOCOeval:
         self._dts = defaultdict(list)
         for i, d in enumerate(dt):
             d = dict(d)
-            d.setdefault("id", i + 1)
+            d["id"] = i + 1  # internal, like pycocotools loadRes
             self._dts[(d["image_id"], d["category_id"])].append(d)
 
         self.stats = None

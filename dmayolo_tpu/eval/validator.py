@@ -42,6 +42,10 @@ class ValResult:
     per_class: Optional[Dict[str, np.ndarray]] = None  # cls/p/r/ap50/ap/nt
     speed_ms: Dict[str, float] = field(default_factory=dict)
     nt: int = 0
+    # image ids the --save-json writer used, for COCOeval imgIds scoping
+    # (evaluating a subset against full official annotations otherwise
+    # counts every non-validated image's GT as false negatives)
+    used_image_ids: Optional[list] = None
 
     def summary(self) -> str:
         return (
@@ -83,7 +87,6 @@ def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
             # as conf-1.0 candidates (ref val.py:228-233 autolabelling).
             # tgt: (cls (B,M), box xywhn (B,M,4), mask (B,M))
             t_cls, t_box, t_mask = tgt
-            B, M = t_cls.shape
             h, w = x.shape[1], x.shape[2]
             scale = jnp.asarray([w, h, w, h], dec.dtype)
             boxes = t_box.astype(dec.dtype) * scale
@@ -209,17 +212,20 @@ def run_validation(
     t_infer = 0.0
     t_first = 0.0
     n_first = 0
-    n_img = 0
     n_timed = 0
     bs = batch_size
     first = True
+    # identity map sized to the model (hoisted; reference val.py:311 uses
+    # coco91 for COCO else list(range(1000)) — extend past 1000 for
+    # LVIS-scale class counts)
+    cmap = class_map if class_map is not None else list(range(max(1000, nc)))
 
     for batch in loader:
         imgs = batch.images
         n = imgs.shape[0]
         if n < bs:  # pad to keep one compiled shape
-            pad = np.zeros((bs - n,) + imgs.shape[1:], imgs.dtype)
-            imgs = np.concatenate([imgs, pad])
+            fill = np.zeros((bs - n,) + imgs.shape[1:], imgs.dtype)
+            imgs = np.concatenate([imgs, fill])
         t0 = time.perf_counter()
         if save_hybrid:
             def _pad0(a):
@@ -243,11 +249,12 @@ def run_validation(
             t_infer += time.perf_counter() - t0
             n_timed += n
         first = False
-        n_img += n
 
         h, w = imgs.shape[1:3]
         for i in range(n):
             d = dets[i][valid[i]]  # (k, 6) xyxy conf cls in letterbox space
+            if single_cls:
+                d[:, 5] = 0  # ref val.py:204: pred classes join the GT's 0
             lb = batch.targets
             m = np.asarray(lb.mask[i])
             cls = np.asarray(lb.cls[i])[m]
@@ -287,8 +294,7 @@ def run_validation(
                     append_coco_json(
                         jdict=save_json, dets_native=dn,
                         image_id=json_ids[str(ds.im_files[idx])],
-                        class_map=class_map if class_map is not None
-                        else list(range(1000)),
+                        class_map=cmap,
                     )
 
     if not stats_acc:
@@ -299,6 +305,8 @@ def run_validation(
     pred_cls = np.concatenate([s[2] for s in stats_acc])
     tcls = np.concatenate([s[3] for s in stats_acc])
     res = ValResult(nt=len(tcls))
+    if save_json is not None:
+        res.used_image_ids = sorted(set(json_ids.values()), key=str)
     if n_timed:
         res.speed_ms = {"inference+nms": 1000 * t_infer / n_timed}
     else:  # single-batch val: only the compile-laden batch exists

@@ -11,8 +11,8 @@ import numpy as np
 import pytest
 
 from dmayolo_tpu.eval.coco_json import (append_coco_json, coco80_to_coco91_class,
-                                        evaluate_coco, is_coco_data,
-                                        write_coco_json)
+                                        evaluate_coco, image_id_map,
+                                        is_coco_data, write_coco_json)
 from tests.ref_compat import setup_reference_imports
 
 DETS = np.array([
@@ -112,3 +112,33 @@ def test_gt_builder_and_writer_agree_on_colliding_stems(tmp_path):
     ds = DetectionDataset(str(tmp_path / "images"), img_size=64, augment=False)
     ids = image_id_map(ds.im_files)
     assert set(ids.values()) == gt_ids
+
+
+def test_image_id_map_numeric_stem_collisions_stay_distinct():
+    # '7' and '007' are distinct stems but identical ints — int conversion
+    # must be abandoned, not allowed to merge two images' detections
+    m = image_id_map(["/d/7.jpg", "/d2/007.jpg"])
+    assert len(set(map(str, m.values()))) == 2
+
+
+def test_image_id_map_unicode_numeric_stem():
+    # isnumeric() accepts '²' but int('²') raises — must stay a string id
+    m = image_id_map(["/d/x².jpg", "/d/y.jpg"])
+    assert m["/d/x².jpg"] == "x²"
+
+
+def test_gt_builder_single_cls(tmp_path):
+    # --single-cls: every GT category must be 0 to match the zeroed preds
+    d = tmp_path / "ds"
+    (d / "images").mkdir(parents=True)
+    (d / "labels").mkdir()
+    import cv2
+    import numpy as np
+    for i, cls in enumerate([0, 1, 2]):
+        cv2.imwrite(str(d / "images" / f"im{i}.jpg"),
+                    np.zeros((40, 40, 3), np.uint8))
+        (d / "labels" / f"im{i}.txt").write_text(f"{cls} 0.5 0.5 0.4 0.4\n")
+    from dmayolo_tpu.eval.coco_json import build_coco_gt_from_yolo
+    gt = build_coco_gt_from_yolo(str(d / "images"), nc=3, single_cls=True)
+    assert {a["category_id"] for a in gt["annotations"]} == {0}
+    assert [c["id"] for c in gt["categories"]] == [0]

@@ -157,3 +157,20 @@ def test_fallback_wiring(tmp_path, capsys):
         pytest.skip("pycocotools importable; fallback not exercised")
     assert out[0] == pytest.approx(1.0)
     assert "native" in captured or "Average Precision" in captured
+
+
+def test_gt_without_annotation_ids_or_zero_based():
+    # third-party GT jsons may lack annotation ids or use 0-based ids;
+    # 0 means "unmatched" in the dtm/gtm bookkeeping so both cases must be
+    # internally reassigned, not scored as false positives
+    boxes = [(10, 10, 40, 40), (100, 100, 50, 30)]
+    for ids in (None, [0, 1]):
+        gt = _gt([1], [(1, 1, b) for b in boxes])
+        for j, a in enumerate(gt["annotations"]):
+            if ids is None:
+                del a["id"]
+            else:
+                a["id"] = ids[j]
+        dt = _dt([(1, 1, b, 0.9 - 0.1 * i) for i, b in enumerate(boxes)])
+        st = NpCOCOeval(gt, dt).evaluate().summarize(verbose=False)
+        assert st[0] == pytest.approx(1.0), f"ids={ids}"
