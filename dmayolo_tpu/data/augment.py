@@ -179,6 +179,12 @@ def copy_paste(im, labels, segments, p=0.5, rng: random.Random = random):
     """Segment flip-paste augmentation (IOA < 0.30 gate).
     ref: utils/augmentations.py:214-235."""
     n = len(segments)
+    # labels[j] pairs with segments[j] POSITIONALLY; a mosaic mixing
+    # box-only and polygon images yields len(segments) < len(labels) and
+    # the pairing is meaningless (the reference has the same latent
+    # assumption) — apply only when every label carries a segment
+    if n != len(labels):
+        return im, labels, segments
     if p and n:
         import cv2
 
@@ -280,8 +286,6 @@ def cutout(im, labels, p=0.5, rng: random.Random = random):
         ymax = min(h, ymin + mask_h)
         im[ymin:ymax, xmin:xmax] = [rng.randint(64, 191) for _ in range(3)]
         if len(labels) and s > 0.03:
-            from .augment import _bbox_ioa
-
             ioa = _bbox_ioa(np.array([xmin, ymin, xmax, ymax], np.float32), labels[:, 1:5])
             labels = labels[ioa < 0.60]
     return labels

@@ -124,7 +124,10 @@ def verify_image_label(im_file: str, lb_file: str, nc: int):
                     return None, f"class id >= nc={nc}"
                 _, idx = np.unique(lb, axis=0, return_index=True)
                 if len(idx) < len(lb):
-                    lb = lb[np.sort(idx)]
+                    keep = np.sort(idx)
+                    lb = lb[keep]
+                    if segments:  # stay row-aligned with lb (ref datasets.py:941)
+                        segments = [segments[x] for x in keep]
         else:
             lb = np.zeros((0, 5), np.float32)
         return (im_file, lb, shape, segments), None
@@ -135,7 +138,7 @@ def verify_image_label(im_file: str, lb_file: str, nc: int):
 class DetectionDataset:
     """Training/eval dataset with mosaic pipeline."""
 
-    CACHE_VERSION = "dmayolo-0.2"
+    CACHE_VERSION = "dmayolo-0.3"  # 0.3: +im_files (post-filter alignment)
 
     def __init__(self, path, img_size=640, augment=False, hyp: Optional[Dict] = None,
                  rect=False, stride=32, pad=0.0, nc=80, batch_size=16,
@@ -178,7 +181,14 @@ class DetectionDataset:
         if cache_path and cache_path.is_file():
             try:
                 z = np.load(cache_path, allow_pickle=True)
-                if str(z["version"]) == self.CACHE_VERSION and str(z["hash"]) == h:
+                if (str(z["version"]) == self.CACHE_VERSION
+                        and str(z["hash"]) == h and "im_files" in z.files):
+                    # restore the SURVIVING file lists too: the hash covers
+                    # the pre-filter set, so a scan that dropped corrupt
+                    # files would otherwise leave im_files longer than
+                    # labels and misalign every pair past the first drop
+                    self.im_files = [str(f) for f in z["im_files"]]
+                    self.label_files = img2label_paths(self.im_files)
                     segs = list(z["segments"]) if "segments" in z.files else [[] for _ in z["labels"]]
                     self.segments = segs
                     return list(z["labels"]), z["shapes"]
@@ -200,10 +210,17 @@ class DetectionDataset:
         shapes = np.array(shapes, np.int64)
         if cache_path:
             try:
+                # explicit 1-D object containers: np.array(..., dtype=object)
+                # on same-shape rows builds a (n, k, 5) object ndarray whose
+                # reload yields boxed-object labels (silent slow math)
+                lab_arr = np.empty(len(labels), object)
+                lab_arr[:] = labels
+                seg_arr = np.empty(len(self.segments), object)
+                seg_arr[:] = self.segments
                 np.savez(
                     cache_path.with_suffix(""), version=self.CACHE_VERSION, hash=h,
-                    labels=np.array(labels, dtype=object), shapes=shapes,
-                    segments=np.array(self.segments, dtype=object),
+                    labels=lab_arr, shapes=shapes, segments=seg_arr,
+                    im_files=np.array(self.im_files, dtype=object),
                 )
             except Exception:
                 pass
@@ -241,7 +258,12 @@ class DetectionDataset:
     def load_image(self, i: int):
         if i in self._im_cache:
             return self._im_cache[i]
-        npy = Path(self.im_files[i]).with_suffix(".npy") if self.cache_disk else None
+        # cache name carries the source suffix AND img_size: a bare
+        # .npy would be stale across --img-size changes and collide for
+        # same-stem files (photo.jpg vs photo.png)
+        p = Path(self.im_files[i])
+        npy = (p.parent / f"{p.name}.{self.img_size}.npy"
+               if self.cache_disk else None)
         if npy is not None and npy.exists():
             try:
                 im, h0, w0 = None, *np.load(str(npy) + ".meta.npy")

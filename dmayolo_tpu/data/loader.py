@@ -74,6 +74,7 @@ class DataLoader:
         self.process_count = process_count
         self.local_bs = batch_size // process_count
         self.quad = quad  # reference --quad: collate_fn4 (datasets.py:632-655)
+        self._epoch = 0  # folded into worker rng so quad draws vary per epoch
 
     def __len__(self):
         n = len(self.ds)
@@ -109,8 +110,20 @@ class DataLoader:
         batches = list(self._batches())
         for j, b in enumerate(batches):
             work.put((j, b))
-        results = {}
         done = threading.Event()
+        self._epoch += 1
+        epoch = self._epoch
+
+        def put(item):
+            # bounded-queue put that observes `done`: a consumer that stops
+            # iterating early (exception/break) must not leave workers
+            # blocked forever holding full image batches
+            while not done.is_set():
+                try:
+                    out.put(item, timeout=0.2)
+                    return
+                except queue.Full:
+                    continue
 
         def worker():
             while not done.is_set():
@@ -121,15 +134,17 @@ class DataLoader:
                 try:
                     samples = [self.ds[i] for i in idxs]
                     if self.quad:
-                        # per-batch rng derived from (seed, j) only — the
-                        # shared self.rng must not be touched from workers
-                        rng = np.random.default_rng((self._seed, j))
-                        out.put((j, collate_quad(samples, self.max_targets,
-                                                 rng=rng, indices=idxs)))
+                        # per-batch rng derived from (seed, epoch, j) — the
+                        # shared self.rng must not be touched from workers,
+                        # and without the epoch term every epoch would draw
+                        # identical upscale-vs-tile choices per batch slot
+                        rng = np.random.default_rng((self._seed, epoch, j))
+                        put((j, collate_quad(samples, self.max_targets,
+                                             rng=rng, indices=idxs)))
                     else:
-                        out.put((j, collate(samples, self.max_targets, idxs)))
+                        put((j, collate(samples, self.max_targets, idxs)))
                 except BaseException as e:  # surface in the consumer, never hang
-                    out.put((j, e))
+                    put((j, e))
                     return
 
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.workers)]
@@ -153,13 +168,16 @@ class DataLoader:
 def collate_quad(samples, max_targets: int, rng=None, indices=None) -> Batch:
     """Quad collate: each output item is either one image upscaled 2x or a
     2x2 tile of four, at double resolution (reference --quad,
-    utils/datasets.py:631-655).  Input sample count must be divisible by 4."""
+    utils/datasets.py:631-655).  A non-multiple-of-4 tail (short final
+    batch) is upscaled image-by-image instead of being dropped."""
     import cv2
     import random as _random
 
     rng = rng or _random
     out = []
-    for i in range(0, len(samples) - 3, 4):
+    out_idx = [] if indices is not None else None
+    n4 = len(samples) - len(samples) % 4
+    for i in range(0, n4, 4):
         group = samples[i : i + 4]
         h, w = group[0][0].shape[:2]
         if rng.random() < 0.5:  # upscale one image
@@ -180,7 +198,16 @@ def collate_quad(samples, max_targets: int, rng=None, indices=None) -> Batch:
                     parts.append(l)
             lb = np.concatenate(parts, 0) if parts else np.zeros((0, 5), np.float32)
         out.append((im, lb))
-    return collate(out, max_targets, indices)
+        if out_idx is not None:
+            out_idx.append(indices[i])  # group representative
+    for i in range(n4, len(samples)):  # remainder: plain 2x upscale
+        im, lb = samples[i][0], samples[i][1]
+        h, w = im.shape[:2]
+        im = cv2.resize(im, (2 * w, 2 * h), interpolation=cv2.INTER_LINEAR)
+        out.append((im, lb))
+        if out_idx is not None:
+            out_idx.append(indices[i])
+    return collate(out, max_targets, out_idx)
 
 
 def pad_to_batch(imgs: np.ndarray, targets: Targets, bs: int):

@@ -139,6 +139,7 @@ def test_fastload_populates_disk_cache(tmp_path):
     ds = DetectionDataset(data["val"], img_size=128, augment=False,
                           fastload=True, cache_disk=True)
     im, _, _ = ds.load_image(0)
-    npy = Path(ds.im_files[0]).with_suffix(".npy")
+    p = Path(ds.im_files[0])
+    npy = p.parent / f"{p.name}.128.npy"  # keyed by source name + img_size
     assert npy.exists()
     np.testing.assert_array_equal(np.load(npy), im)
