@@ -177,6 +177,17 @@ def main():
         dt_s = timed(m2, fp2, fs2, img_u8(bs))
         extra[f"{cfg}_bs{bs}_img_s"] = round(bs / dt_s, 1)
 
+    # --- anchor-free TAL flagship (CASPD_ODRTA, reference train.sh:3
+    # --assignment tal): the fork's second headline recipe — exercises the
+    # TDetect/DFL decode on the serving fast path ---
+    try:
+        mt, fpt, fst = build("CASPD_ODRTA")
+        dt_t = timed(mt, fpt, fst, img_u8(64))
+        extra["caspd_odrta_tal_bs64_img_s"] = round(64 / dt_t, 1)
+        del mt, fpt, fst
+    except Exception as e:
+        extra["caspd_odrta_tal_bs64_img_s"] = f"error: {type(e).__name__}"
+
     # --- yolov5x: the reference's one published speed number (tutorial.ipynb:
     # 4.9 ms/img inference, V100 fp16 batch-32 = 204 img/s) ---
     m5x, fp5x, fs5x = build("yolov5x")

@@ -72,3 +72,30 @@ def test_small_candidate_count_fixed_width_pallas():
         boxes, scores, iou_thres=0.45, max_det=300, interpret=True)
     assert keep_idx.shape == (2, 300) and keep_valid.shape == (2, 300)
     assert 0 < int(np.asarray(keep_valid).sum()) <= 2 * n
+
+
+def test_candidate_topk_exact_and_sorted():
+    # _top_k_candidates (approx_max_k at recall 1.0) feeds BOTH nms backends;
+    # the scan backend's greedy suppression assumes candidates arrive sorted
+    # by descending score, and the protocol requires exact top-k. Guard both
+    # invariants against dense, sparse (NEG_INF-filled), and heavily tied
+    # score fields.
+    import jax
+
+    from dmayolo_tpu.core.nms import NEG_INF, _top_k_candidates
+
+    rng = np.random.default_rng(7)
+    dense = rng.uniform(size=(4, 3000)).astype(np.float32)
+    sparse = np.where(rng.uniform(size=(4, 3000)) < 0.03, dense, NEG_INF
+                      ).astype(np.float32)
+    tied = np.repeat(rng.uniform(size=(4, 300)).astype(np.float32), 10, axis=1)
+    for field in (dense, sparse, tied):
+        x = jnp.asarray(field)
+        v, i = _top_k_candidates(x, 512)
+        v_ref, _ = jax.lax.top_k(x, 512)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+        v = np.asarray(v)
+        assert (v[:, :-1] >= v[:, 1:]).all(), "candidates must be score-sorted"
+        # indices must actually address the returned values
+        np.testing.assert_array_equal(
+            np.take_along_axis(field, np.asarray(i), axis=1), v)
