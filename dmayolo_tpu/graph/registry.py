@@ -81,5 +81,11 @@ WIDTH_GAIN = {
     "MixConv2d", "Focus", "CrossConv", "BottleneckCSP", "C3", "C3TR", "C3STR",
     "C3SPP", "C3Ghost", "ASPP", "CBAM", "CoorAttention", "CA", "CABottleneck",
     "C3CA", "SPPCSPC", "SPPFCSPC", "SCConv", "HorBlock", "C3HB", "GnConv",
+    # BAM is a verbatim duplicate of C3CA (ref common.py:1581-1587) but the
+    # reference forgot it in the width list (yolo.py:388 has it only in the
+    # insert-n list at :399), which is one of the two bugs breaking its
+    # published CASMMsiou.yaml.  We treat it exactly like C3CA so the
+    # repaired config (tools/repair_configs.py) is buildable.
+    "BAM",
 }
 INSERT_N = {"BottleneckCSP", "C3", "C3TR", "C3STR", "C3Ghost", "C3CA", "C3HB", "BAM"}

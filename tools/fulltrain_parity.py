@@ -49,28 +49,48 @@ def gen(n_train=192, n_val=48, img_size=320):
     print("dataset:", path)
 
 
-def _tal_cfg():
-    """Width/depth-scaled copy of the reference's TDetect config
-    (CASPD_ODRTA: C3CA + SPD backbone, P2..P5 anchor-free head) so the
-    TAL-path full-train runs at yolov5n cost on both sides."""
+def _scaled_cfg(src, out_name):
+    """Width/depth-scaled (n-cost) copy of a reference config so the
+    full-train parity runs are tractable on this 1-core host."""
     import yaml
 
-    with open("/root/reference/models/CASPD_ODRTA.yaml", errors="ignore") as f:
+    with open(src, errors="ignore") as f:
         cfg = yaml.safe_load(f)
     cfg["depth_multiple"], cfg["width_multiple"] = 0.33, 0.25
     os.makedirs(ROOT, exist_ok=True)
-    path = f"{ROOT}/caspd_odrta_n.yaml"
+    path = f"{ROOT}/{out_name}"
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
     return path
 
 
-def ref(epochs=EPOCHS, resume=False, tal=False):
+def _tal_cfg():
+    """Scaled copy of the reference's TDetect config (CASPD_ODRTA: C3CA +
+    SPD backbone, P2..P5 anchor-free head) — reference train.sh:3 recipe."""
+    return _scaled_cfg("/root/reference/models/CASPD_ODRTA.yaml",
+                       "caspd_odrta_n.yaml")
+
+
+def _flagship_cfg():
+    """Scaled copy of the DMA flagship ablation (SCConv backbone + CA +
+    SPPFCSPC, reference models/ablation-ca-scconv-sppfcspc.yaml) — the
+    fork's own contribution modules under full training dynamics."""
+    return _scaled_cfg("/root/reference/models/ablation-ca-scconv-sppfcspc.yaml",
+                       "flagship_n.yaml")
+
+
+def ref(epochs=EPOCHS, resume=False, tal=False, flagship=False):
     sys.path.insert(0, REPO)
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from ref_compat import setup_reference_imports
 
     assert setup_reference_imports()
+    if flagship:
+        # the flagship yaml names module `CA`, which the reference never
+        # defines (SURVEY §2.2) — inject the alias so its parse_model works
+        from ref_compat import patch_ca_alias
+
+        patch_ca_alias()
     import numpy as np
 
     # the reference predates numpy 1.24's alias removal
@@ -143,7 +163,14 @@ def ref(epochs=EPOCHS, resume=False, tal=False):
 
         ref_val.run = _noop_run
 
-    runs = f"{ROOT}/ref_runs_tal" if tal else f"{ROOT}/ref_runs"
+    sfx = "_tal" if tal else "_flagship" if flagship else ""
+    runs = f"{ROOT}/ref_runs{sfx}"
+    if tal:
+        cfg = _tal_cfg()
+    elif flagship:
+        cfg = _flagship_cfg()
+    else:
+        cfg = "/root/reference/models/yolov5n.yaml"
     if resume:
         # continue an interrupted run from its own last.pt + opt.yaml
         sys.argv = ["train.py", "--resume", f"{runs}/exp/weights/last.pt"]
@@ -151,7 +178,7 @@ def ref(epochs=EPOCHS, resume=False, tal=False):
         sys.argv = [
             "train.py", "--img", str(IMG), "--batch-size", str(BS),
             "--epochs", str(epochs), "--weights", "",
-            "--cfg", _tal_cfg() if tal else "/root/reference/models/yolov5n.yaml",
+            "--cfg", cfg,
             "--hyp", "/root/reference/data/hyps/hyp.scratch.yaml",
             "--data", YAML, "--workers", "4",
             "--project", runs, "--name", "exp", "--exist-ok",
@@ -165,15 +192,22 @@ def ref(epochs=EPOCHS, resume=False, tal=False):
     ref_train.main(opt)
 
 
-def tpu(epochs=EPOCHS, device=None, resume=False, tal=False):
-    runs = f"{ROOT}/tpu_runs_tal" if tal else f"{ROOT}/tpu_runs"
+def tpu(epochs=EPOCHS, device=None, resume=False, tal=False, flagship=False):
+    sfx = "_tal" if tal else "_flagship" if flagship else ""
+    runs = f"{ROOT}/tpu_runs{sfx}"
+    if tal:
+        cfg = _tal_cfg()
+    elif flagship:
+        cfg = _flagship_cfg()
+    else:
+        cfg = "yolov5n.yaml"
     if resume:
         cmd = [sys.executable, os.path.join(REPO, "train.py"),
                "--resume", f"{runs}/exp/last.npz"]
     else:
         cmd = [
             sys.executable, os.path.join(REPO, "train.py"),
-            "--cfg", _tal_cfg() if tal else "yolov5n.yaml",
+            "--cfg", cfg,
             "--data", YAML, "--hyp", "scratch",
             "--img", str(IMG), "--batch-size", str(BS), "--epochs", str(epochs),
             "--workers", "4", "--project", runs, "--name", "exp",
@@ -200,8 +234,8 @@ def _csv_rows(path):
     return [by_epoch[e] for e in sorted(by_epoch)]
 
 
-def report(tal=False):
-    sfx = "_tal" if tal else ""
+def report(tal=False, flagship=False):
+    sfx = "_tal" if tal else "_flagship" if flagship else ""
     out = {}
     if not tal:  # TAL: the reference trains blind (see ref()), no mAP CSV
         ref_rows = _csv_rows(f"{ROOT}/ref_runs{sfx}/exp/results.csv")
@@ -242,6 +276,9 @@ if __name__ == "__main__":
     if "tal" in args[1:] and phase in ("ref", "tpu", "report"):
         kw["tal"] = True
         args = [a for a in args if a != "tal"]
+    if "flagship" in args[1:] and phase in ("ref", "tpu", "report"):
+        kw["flagship"] = True
+        args = [a for a in args if a != "flagship"]
     if len(args) > 1 and phase in ("ref", "tpu"):
         if args[1] == "resume":
             kw["resume"] = True
