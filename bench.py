@@ -180,13 +180,17 @@ def main():
     # --- anchor-free TAL flagship (CASPD_ODRTA, reference train.sh:3
     # --assignment tal): the fork's second headline recipe — exercises the
     # TDetect/DFL decode on the serving fast path ---
+    mt = fpt = fst = None
     try:
         mt, fpt, fst = build("CASPD_ODRTA")
         dt_t = timed(mt, fpt, fst, img_u8(64))
         extra["caspd_odrta_tal_bs64_img_s"] = round(64 / dt_t, 1)
-        del mt, fpt, fst
     except Exception as e:
-        extra["caspd_odrta_tal_bs64_img_s"] = f"error: {type(e).__name__}"
+        extra["caspd_odrta_tal_bs64_img_s"] = f"error: {type(e).__name__}: {e}"
+    finally:
+        # free the CASPD device buffers either way — the training bench below
+        # fits 13.6G of 16G HBM and a leak here cascades into an OOM there
+        del mt, fpt, fst
 
     # --- yolov5x: the reference's one published speed number (tutorial.ipynb:
     # 4.9 ms/img inference, V100 fp16 batch-32 = 204 img/s) ---

@@ -21,7 +21,12 @@ def build_parser():
     p.add_argument("--iou-thr", type=float, default=0.67)
     p.add_argument("--skip-box-thr", type=float, default=0.01)
     p.add_argument("--weights", type=float, nargs="+", default=None)
-    p.add_argument("--one-indexed-cls", action="store_true", default=True)
+    p.add_argument("--conf-type", choices=("avg", "max"), default="avg")
+    p.add_argument("--allows-overflow", action="store_true")
+    # the reference writes 1-indexed classes (ref wbf.py:70-77); opt out
+    # with --no-one-indexed-cls to keep the txts val/detect-compatible
+    p.add_argument("--one-indexed-cls", action=argparse.BooleanOptionalAction,
+                   default=True)
     return p
 
 
@@ -59,6 +64,7 @@ def main(argv=None):
         boxes, scores, labels = weighted_boxes_fusion(
             boxes_l, scores_l, labels_l, weights=opt.weights,
             iou_thr=opt.iou_thr, skip_box_thr=opt.skip_box_thr,
+            conf_type=opt.conf_type, allows_overflow=opt.allows_overflow,
         )
         lines = []
         for (x1, y1, x2, y2), s, l in zip(boxes, scores, labels):
