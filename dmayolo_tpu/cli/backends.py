@@ -1,0 +1,92 @@
+"""Exported-artifact inference backends for detect.py.
+
+Reference surface: detect.py:96-141 — its DetectMultiBackend runs .pt,
+ONNX, SavedModel, and TFLite weights through one CLI.  Ours runs the
+artifacts export.py actually produces in this env: native .npz / imported
+.pt (handled by load_model_from_checkpoint), plus the three exported
+program formats:
+
+  *.stablehlo      jax.export serialized program (runs via jax on any
+                   jax backend — the TPU-native interchange format)
+  *_saved_model/   jax2tf SavedModel (runs via tensorflow)
+  *.tflite         TFLite flatbuffer with flex ops (runs via tf.lite)
+
+Every exported program already contains preprocessing (uint8 -> /255) and
+the decode, so a backend returns DECODED predictions (B, A, 5+nc) — NMS
+stays in detect.py.  Metadata (nc, imgsz, batch size, stride, head type)
+comes from the sidecar export.py writes next to each artifact.
+
+ONNX is env-blocked here: neither `onnx` nor `tf2onnx` wheels are
+installed and the env has no egress (see COVERAGE.md).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def detect_backend(weights: str) -> str:
+    w = str(weights)
+    if w.endswith(".stablehlo"):
+        return "stablehlo"
+    if w.endswith(".tflite"):
+        return "tflite"
+    p = Path(w)
+    if p.is_dir() and (p / "saved_model.pb").exists():
+        return "saved_model"
+    return "native"
+
+
+def _read_meta(weights: Path, backend: str) -> dict:
+    import yaml
+
+    path = (weights / "dmayolo_meta.yaml" if backend == "saved_model"
+            else weights.parent / (weights.name + ".meta.yaml"))
+    if not path.exists():
+        raise FileNotFoundError(
+            f"{path} not found — re-run export.py (it writes the metadata "
+            f"sidecar detect needs to run {backend} artifacts standalone)")
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def load_backend(weights: str, backend: str):
+    """Returns (fn, meta): fn maps uint8 (B,H,W,3) with B == meta['batch_size']
+    to decoded predictions as a numpy array."""
+    w = Path(weights)
+    meta = _read_meta(w, backend)
+
+    if backend == "stablehlo":
+        from jax import export as jexport
+
+        exported = jexport.deserialize(w.read_bytes())
+
+        def fn(x):
+            return np.asarray(exported.call(x))
+
+    elif backend == "saved_model":
+        import tensorflow as tf
+
+        mod = tf.saved_model.load(str(w))
+
+        def fn(x):
+            return mod.f(tf.constant(np.asarray(x))).numpy()
+
+    elif backend == "tflite":
+        import tensorflow as tf
+
+        interp = tf.lite.Interpreter(model_path=str(w))
+        interp.allocate_tensors()
+        inp = interp.get_input_details()[0]
+        out = interp.get_output_details()[0]
+
+        def fn(x):
+            interp.set_tensor(inp["index"], np.asarray(x))
+            interp.invoke()
+            return interp.get_tensor(out["index"])
+
+    else:
+        raise ValueError(f"not an exported-artifact backend: {backend}")
+
+    return fn, meta

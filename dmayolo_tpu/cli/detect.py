@@ -68,6 +68,8 @@ def build_parser():
     p.add_argument("--half", action="store_true",
                    help="accepted for parity; compute is bf16 by default on "
                         "TPU (reference --half = fp16)")
+    p.add_argument("--fp32", action="store_true",
+                   help="run the forward in float32 (default bf16)")
     p.add_argument("--device", type=str, default=None, help="cpu|tpu (default: auto)")
     return p
 
@@ -95,10 +97,36 @@ def main(argv=None):
     from ..nn.fuse import fuse_params
     from .common import increment_path, load_model_from_checkpoint
 
-    model, params, stats = load_model_from_checkpoint(opt.weights, opt.cfg)
-    opt.imgsz = check_img_size(opt.imgsz, int(model.stride.max()))
-    params, stats = fuse_params(model, params, stats)
-    names = [str(i) for i in range(model.nc)]
+    from .backends import detect_backend, load_backend
+
+    backend = detect_backend(opt.weights)
+    model = None
+    if backend == "native":
+        model, params, stats = load_model_from_checkpoint(opt.weights, opt.cfg)
+        opt.imgsz = check_img_size(opt.imgsz, int(model.stride.max()))
+        params, stats = fuse_params(model, params, stats)
+        nc = model.nc
+        gs = int(model.stride.max())
+        names = [str(i) for i in range(nc)]
+    else:
+        # exported-program backends (ref detect.py:96-141 DetectMultiBackend):
+        # the artifact embeds preprocessing + decode at a FIXED (batch, imgsz)
+        if opt.augment or opt.visualize:
+            raise SystemExit(
+                f"--augment/--visualize need the native model graph; the "
+                f"{backend} artifact is a frozen decode program")
+        backend_fn, bmeta = load_backend(opt.weights, backend)
+        nc = int(bmeta["nc"])
+        gs = int(bmeta["stride"])
+        if opt.imgsz != bmeta["imgsz"]:
+            print(f"{backend}: overriding --imgsz {opt.imgsz} -> "
+                  f"{bmeta['imgsz']} (baked into the exported program)")
+            opt.imgsz = int(bmeta["imgsz"])
+        backend_bs = int(bmeta["batch_size"])
+        opt.batch_size = backend_bs
+        tdetect = bmeta.get("head") == "TDetect"
+        names = [str(n) for n in bmeta.get("names") or []] or [
+            str(i) for i in range(nc)]
     if opt.names:
         with open(opt.names) as f:
             d = yaml.safe_load(f)
@@ -111,7 +139,7 @@ def main(argv=None):
 
     class_mask = None
     if opt.classes is not None:
-        class_mask = jnp.asarray(np.isin(np.arange(model.nc), opt.classes))
+        class_mask = jnp.asarray(np.isin(np.arange(nc), opt.classes))
 
     classifier_fn = None
     if opt.classify:
@@ -120,11 +148,35 @@ def main(argv=None):
         classifier_fn = load_second_stage(opt.classify, opt.classify_cfg)
     from ..eval.second_stage import apply_classifier, save_one_box
 
+    if backend != "native":
+        @jax.jit
+        def _nms_dec(dec):
+            if tdetect:  # TDetect decode is (B, A, 4+nc): insert conf=1 col
+                dec = jnp.concatenate(
+                    [dec[..., :4], jnp.ones_like(dec[..., :1]), dec[..., 4:]],
+                    axis=-1)
+            return batched_nms(
+                dec, conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+                agnostic=opt.agnostic_nms, max_det=opt.max_det,
+                class_mask=class_mask)
+
+        def infer(x):
+            x = np.asarray(x)
+            b = x.shape[0]
+            assert b <= backend_bs, (b, backend_bs)
+            if b < backend_bs:  # exported program has a static batch dim
+                x = np.concatenate(
+                    [x, np.zeros((backend_bs - b,) + x.shape[1:], x.dtype)])
+            dets, valid = _nms_dec(jnp.asarray(backend_fn(x)))
+            return dets[:b], valid[:b]
+
+    dtype = jnp.float32 if opt.fp32 else jnp.bfloat16
+
     @jax.jit
     def _infer(p, s, x):
-        xf = x.astype(jnp.bfloat16) / 255.0
+        xf = x.astype(dtype) / 255.0
         if opt.augment:
-            dec = forward_augment(model, p, s, xf, dtype=jnp.bfloat16, fused=True)
+            dec = forward_augment(model, p, s, xf, dtype=dtype, fused=True)
             if dec.shape[-1] == model.nc + 4:
                 dec = jnp.concatenate(
                     [dec[..., :4], jnp.ones_like(dec[..., :1]), dec[..., 4:]], axis=-1
@@ -135,7 +187,7 @@ def main(argv=None):
             )
         # serving fast path: fused per-scale decode, identical results to
         # decode+batched_nms single-label (reference detect.py is single-label)
-        raw = model.apply(p, s, xf, dtype=jnp.bfloat16, fused=True)
+        raw = model.apply(p, s, xf, dtype=dtype, fused=True)
         boxes, scores, cls = model.decode_parts(raw, class_mask=class_mask)
         return nms_parts(
             boxes, scores, cls, conf_thres=opt.conf_thres,
@@ -143,11 +195,15 @@ def main(argv=None):
             max_det=opt.max_det, max_nms=30000,
         )
 
-    def infer(x):  # params as jit args, not baked constants
-        return _infer(params, stats, x)
+    if backend == "native":
+        def infer(x):  # params as jit args, not baked constants
+            return _infer(params, stats, x)
 
     def _maybe_update():
         if getattr(opt, "update", False):  # ref detect.py --update
+            if backend != "native":
+                print("--update: n/a for exported-program artifacts")
+                return
             if str(opt.weights).endswith(".pt"):
                 # reference-format checkpoints are read-only interop inputs;
                 # strip_checkpoint writes our npz format only
@@ -185,7 +241,6 @@ def main(argv=None):
                 feature_visualization(np.asarray(t, dtype=np.float32), tname, i, save_dir=vis_dir)
         print(f"feature maps -> {vis_dir}")
     bs = min(opt.batch_size, len(files))
-    gs = int(model.stride.max())
 
     n_done = 0
     t0 = time.perf_counter()

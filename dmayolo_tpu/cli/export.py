@@ -100,6 +100,24 @@ def main(argv=None):
         export_torch_state_dict(model, params, stats, out)
         outputs.append(out)
 
+    def _write_meta(artifact: Path, inside_dir=False):
+        """Sidecar metadata so detect.py can run the artifact standalone
+        (the reference's DetectMultiBackend reads equivalent metadata from
+        its exported files, ref detect.py:96-141 / export.py)."""
+        import yaml as _yaml
+
+        meta = {
+            "nc": int(model.nc),
+            "imgsz": int(opt.imgsz),
+            "batch_size": int(opt.batch_size),
+            "stride": int(model.stride.max()),
+            "head": type(model.head).__name__,
+            "names": list(getattr(model, "names", [])),
+        }
+        path = (artifact / "dmayolo_meta.yaml" if inside_dir
+                else artifact.parent / (artifact.name + ".meta.yaml"))
+        path.write_text(_yaml.safe_dump(meta, sort_keys=False))
+
     if "stablehlo" in opt.include:
         from jax import export as jexport
 
@@ -114,6 +132,7 @@ def main(argv=None):
         exported = jexport.export(jax.jit(fn))(x_spec)
         out = base.parent / (base.name + ".stablehlo")
         out.write_bytes(exported.serialize())
+        _write_meta(out)
         outputs.append(out)
 
     want_sm = {"tf", "saved_model"} & set(opt.include)
@@ -131,22 +150,30 @@ def main(argv=None):
 
             fp, fs = fuse_params(model, params, stats)
 
-            def fn(x):
-                return model.decode(model.apply(fp, fs, x.astype(dtype) / 255.0,
-                                                dtype=dtype, fused=True))
+            def make_mod(dt):
+                def fn(x):
+                    return model.decode(model.apply(fp, fs, x.astype(dt) / 255.0,
+                                                    dtype=dt, fused=True))
 
-            mod = tf.Module()
-            mod.f = tf.function(
-                jax2tf.convert(fn, with_gradient=False), autograph=False,
-                input_signature=[tf.TensorSpec(
-                    (opt.batch_size, opt.imgsz, opt.imgsz, 3), tf.uint8)])
+                mod = tf.Module()
+                mod.f = tf.function(
+                    jax2tf.convert(fn, with_gradient=False), autograph=False,
+                    input_signature=[tf.TensorSpec(
+                        (opt.batch_size, opt.imgsz, opt.imgsz, 3), tf.uint8)])
+                return mod
+
+            mod = make_mod(dtype)
             if want_sm:
                 out = base.parent / (base.name + "_saved_model")
                 tf.saved_model.save(mod, str(out))
+                _write_meta(out, inside_dir=True)
                 outputs.append(out)
             if want_tfl:
+                # TFLite builtins cannot legalize bf16 arithmetic — the
+                # tflite artifact is always the f32 program
+                tfl_mod = mod if opt.fp32 else make_mod(jnp.float32)
                 conv = tf.lite.TFLiteConverter.from_concrete_functions(
-                    [mod.f.get_concrete_function()], mod)
+                    [tfl_mod.f.get_concrete_function()], tfl_mod)
                 # the jax program lands as one XlaCallModule op -> flex
                 conv.target_spec.supported_ops = [
                     tf.lite.OpsSet.TFLITE_BUILTINS,
@@ -154,6 +181,7 @@ def main(argv=None):
                 ]
                 out = base.parent / (base.name + ".tflite")
                 out.write_bytes(conv.convert())
+                _write_meta(out)
                 outputs.append(out)
 
     for o in outputs:
