@@ -9,7 +9,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA CPU in-process collectives ship a 20s-warn/40s-TERMINATE rendezvous
+# watchdog; 8 device threads timesharing this host's core(s) can skew past
+# 40s inside the heavier mesh tests, which would kill the pytest process.
+for _f, _v in (("xla_cpu_collective_call_warn_stuck_timeout_seconds", 600),
+               ("xla_cpu_collective_call_terminate_timeout_seconds", 7200),
+               ("xla_cpu_collective_timeout_seconds", 7200)):
+    if _f not in flags:
+        flags += f" --{_f}={_v}"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 

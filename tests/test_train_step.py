@@ -186,3 +186,56 @@ def test_mesh_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(state1.params[k]), np.asarray(state2.params[k]), atol=1e-5
     )
+
+
+def test_mesh_matches_single_device_flagship_graph():
+    """DP-vs-single train-step equivalence at the FULL flagship graph
+    (ablation-ca-scconv-sppfcspc: SCConv backbone + C3CA + SPPFCSPC +
+    AdConcat BiFPN + 3-scale Detect), reduced width for suite runtime —
+    the 8-device program must psum grads + cross-replica BN moments through
+    every fork-specific module, not just the TINY_CFG zoo.  The deployed
+    width-1.0 variant of the same program is certified by the driver's
+    dryrun_multichip (see __graft_entry__.py)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import yaml
+    from pathlib import Path
+
+    cfg_path = (Path(__file__).resolve().parents[1]
+                / "dmayolo_tpu/configs/models/ablation-ca-scconv-sppfcspc.yaml")
+    with open(cfg_path, errors="ignore") as f:
+        cfg = yaml.safe_load(f)
+    cfg["depth_multiple"], cfg["width_multiple"], cfg["nc"] = 0.33, 0.25, 4
+
+    model = DetectionModel(cfg)
+    params, stats = model.init_with_priors(jax.random.PRNGKey(1))
+    loss = ComputeLoss(model.head.anchors, HYP, nc=4)
+    sched = Schedule(HYP, epochs=3, steps_per_epoch=10, batch_size=8)
+    step = make_train_step(model, loss, sched, param_groups(model),
+                           weight_decay=HYP["weight_decay"], dtype=jnp.float32)
+
+    rng = np.random.default_rng(7)
+    imgs, targets = fake_batch(rng, 8)
+
+    state1 = init_train_state(params, stats)
+    state1, m1 = jax.jit(step)(state1, imgs, targets, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=8)
+    state2 = init_train_state(params, stats)
+    jstep = jit_train_step(step, mesh=mesh, donate=False)
+    with mesh:
+        state2 = replicate_tree(mesh, state2)
+        imgs_s = shard_batch(mesh, imgs)
+        targets_s = Targets(*(jax.device_put(t, NamedSharding(mesh, P("data")))
+                              for t in targets))
+        state2, m2 = jstep(state2, imgs_s, targets_s, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for k in state1.params:
+        np.testing.assert_allclose(
+            np.asarray(state1.params[k]), np.asarray(state2.params[k]),
+            atol=2e-5, err_msg=str(k))
+    for k in state1.stats:  # cross-replica BN moments == global-batch BN
+        np.testing.assert_allclose(
+            np.asarray(state1.stats[k]), np.asarray(state2.stats[k]),
+            atol=1e-5, err_msg=str(k))
