@@ -57,6 +57,43 @@ def check_dataset(data) -> Dict:
     if "names" not in d:
         d["names"] = [str(i) for i in range(d["nc"])]
     assert len(d["names"]) == d["nc"], (len(d["names"]), d["nc"])
+
+    # the reference auto-downloads missing datasets (general.py:416-447,
+    # VisDrone.yaml download block); this build is offline-first, so a
+    # missing dataset gets actionable setup instructions instead
+    # gate on `val` like the reference (a train-only gap still fails at the
+    # scan with the offending path); list whatever else is absent alongside
+    if d.get("val") and isinstance(d["val"], str) and not Path(d["val"]).exists():
+        missing = [
+            k for k in ("train", "val") if d.get(k) and isinstance(d[k], str)
+            and not Path(d[k]).exists()
+        ]
+        name = Path(str(data)).stem.lower() if isinstance(data, (str, Path)) else ""
+        hint = ""
+        if "visdrone" in name:
+            hint = (
+                "\nVisDrone setup (offline): download the VisDrone2019-DET "
+                "zips from https://github.com/VisDrone/VisDrone-Dataset on a "
+                "connected machine, unzip under the yaml's `path`, then "
+                "convert annotations:\n"
+                "  python tools/visdrone2yolo.py <path>/VisDrone2019-DET-train\n"
+                "  python tools/visdrone2yolo.py <path>/VisDrone2019-DET-val"
+            )
+        elif "uavdt" in name:
+            hint = (
+                "\nUAVDT setup (offline): obtain the UAV-benchmark-M archive, "
+                "unpack under the yaml's `path`, then:\n"
+                "  python tools/uavdt2yolo.py <path>/UAV-benchmark-M "
+                "<path>/UAV-benchmark-MOTD_v1.0/GT\n"
+                "  python tools/verify_labels.py <path>/images/train"
+            )
+        elif d.get("download"):
+            hint = ("\nThe dataset yaml carries an upstream `download` recipe; "
+                    "run it on a connected machine and place the result under "
+                    "the yaml's `path`.")
+        raise FileNotFoundError(
+            "dataset paths missing: "
+            f"{list(dict.fromkeys(d[k] for k in missing))}{hint}")
     return d
 
 
