@@ -6,8 +6,15 @@ was localised to XLA's backward-conv emitter at large-spatial/64-ch shapes
 negative, see docs/ROOFLINE.md).  This sweep is the remaining lever class:
 compiler flags.  Each config compiles the full train step (flagship
 `ablation-ca-scconv-sppfcspc`, 1536px, bs8, adam, remat, bf16 — exactly
-bench.py's `visdrone1536_train_bs8_remat` row) in a fresh subprocess with
-XLA_FLAGS set, and times 6 state-carried steps twice, taking the best.
+bench.py's `visdrone1536_train_bs8_remat` row) in a fresh subprocess and
+times 6 state-carried steps twice, taking the best.
+
+Flag delivery: XLA_FLAGS does NOT work on the axon stack — the client
+binary only registers 5 xla_tpu_* flags and parse_flags_from_env aborts
+on the rest (all 1,035 live in the server-side libtpu).  PJRT
+`compiler_options` (jax.jit(..., compiler_options={...})) rides through
+the remote-compile tunnel and IS parsed there (bogus names get rejected
+with an HTTP 500), so that is the channel used here.
 
     python experiments/exp_1536_flags.py            # run sweep, print table
     python experiments/exp_1536_flags.py --child    # (internal) one config
@@ -22,25 +29,29 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# flag configs: name -> XLA_FLAGS string (all flag names verified present
-# in this libtpu build).  Chosen for the diagnosed bottleneck: backward
-# convs whose fusions are VMEM-starved / badly scheduled at 768px x 64ch.
+# flag configs: name -> compiler_options dict (all flag names verified
+# present in the server-side libtpu).  Chosen for the diagnosed
+# bottleneck: backward convs whose fusions are VMEM-starved / badly
+# scheduled at 768px x 64ch.
 CONFIGS = {
-    "baseline": "",
-    "vmem_64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "vmem_96m": "--xla_tpu_scoped_vmem_limit_kib=98304",
-    "no_lhs": "--xla_tpu_enable_latency_hiding_scheduler=false",
-    "scavenge_vmem": "--xla_tpu_scavenge_vmem_for_fusions=true",
-    "conv_multi_users": "--xla_tpu_input_conv_multi_users=true",
-    "conv_downcast_fuse": "--xla_tpu_allow_conv_input_fusion_with_downcast_convert=true",
-    "conv_normalizer": "--xla_tpu_impure_enable_convolution_normalizer=true",
-    "rw_as_conv": "--xla_tpu_handle_reduce_window_as_convolution=true",
-    "vmem_64m+scavenge": ("--xla_tpu_scoped_vmem_limit_kib=65536 "
-                          "--xla_tpu_scavenge_vmem_for_fusions=true"),
+    "baseline": {},
+    "vmem_64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "vmem_96m": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
+    "no_lhs": {"xla_tpu_enable_latency_hiding_scheduler": "false"},
+    "scavenge_vmem": {"xla_tpu_scavenge_vmem_for_fusions": "true"},
+    "conv_multi_users": {"xla_tpu_input_conv_multi_users": "true"},
+    "conv_downcast_fuse":
+        {"xla_tpu_allow_conv_input_fusion_with_downcast_convert": "true"},
+    "conv_normalizer":
+        {"xla_tpu_impure_enable_convolution_normalizer": "true"},
+    "rw_as_conv": {"xla_tpu_handle_reduce_window_as_convolution": "true"},
+    "vmem_64m+scavenge": {"xla_tpu_scoped_vmem_limit_kib": "65536",
+                          "xla_tpu_scavenge_vmem_for_fusions": "true"},
 }
 
 
-def child():
+def child(config_name):
+    options = CONFIGS[config_name]
     sys.path.insert(0, REPO)
     import numpy as np
 
@@ -53,7 +64,10 @@ def child():
     from dmayolo_tpu.train.optim import Schedule, param_groups
     from dmayolo_tpu.train.step import init_train_state, make_train_step
 
-    enable_compilation_cache("~/.cache/dmayolo_jax_flags")
+    # per-config cache dir: compiler_options should be part of the cache
+    # key, but ROOFLINE.md documents one stale-cache incident — isolate.
+    enable_compilation_cache(
+        "~/.cache/dmayolo_jax_flags_" + config_name.replace("+", "_"))
 
     hyp = {"box": 0.05, "obj": 1.0, "cls": 0.5, "cls_pw": 1.0, "obj_pw": 1.0,
            "anchor_t": 4.0, "label_smoothing": 0.0, "fl_gamma": 0.0,
@@ -67,7 +81,8 @@ def child():
     sched = Schedule(hyp, epochs=100, steps_per_epoch=100)
     step = jax.jit(make_train_step(model, loss, sched, param_groups(model),
                                    weight_decay=5e-4, adam=True,
-                                   dtype=jnp.bfloat16, remat=True))
+                                   dtype=jnp.bfloat16, remat=True),
+                   compiler_options=options or None)
     rng = np.random.default_rng(0)
     bs = 8
     tgt = Targets(
@@ -99,15 +114,12 @@ def child():
 
 def main():
     results = {}
-    for name, flags in CONFIGS.items():
-        env = dict(os.environ)
-        if flags:
-            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+    for name in CONFIGS:
         errpath = f"/tmp/flags_child_{name.replace('+', '_')}.err"
         with open(errpath, "w") as ef:
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
-                stdout=subprocess.PIPE, stderr=ef, text=True, env=env,
+                [sys.executable, os.path.abspath(__file__), "--child", name],
+                stdout=subprocess.PIPE, stderr=ef, text=True,
                 timeout=3600)
         line = next((ln for ln in r.stdout.splitlines()
                      if ln.startswith("{")), None)
@@ -125,4 +137,7 @@ def main():
 
 
 if __name__ == "__main__":
-    child() if "--child" in sys.argv else main()
+    if "--child" in sys.argv:
+        child(sys.argv[sys.argv.index("--child") + 1])
+    else:
+        main()
