@@ -58,9 +58,18 @@ def load_backend(weights: str, backend: str):
     meta = _read_meta(w, backend)
 
     if backend == "stablehlo":
+        import jax
         from jax import export as jexport
 
         exported = jexport.deserialize(w.read_bytes())
+        plats = tuple(p.lower() for p in exported.platforms)
+        cur = jax.default_backend()
+        if cur not in plats:
+            raise SystemExit(
+                f"{w.name} was lowered for platform(s) {plats} but the "
+                f"current jax backend is {cur!r} — re-run export.py on this "
+                f"platform, or select one of {plats} (e.g. "
+                f"JAX_PLATFORMS={plats[0]})")
 
         def fn(x):
             return np.asarray(exported.call(x))

@@ -163,7 +163,13 @@ def main(argv=None):
         def infer(x):
             x = np.asarray(x)
             b = x.shape[0]
-            assert b <= backend_bs, (b, backend_bs)
+            if b > backend_bs:
+                # runtime batch exceeds the artifact's static batch (e.g.
+                # more --source streams than export --batch-size): chunk
+                parts = [infer(x[i:i + backend_bs])
+                         for i in range(0, b, backend_bs)]
+                return (jnp.concatenate([p[0] for p in parts]),
+                        jnp.concatenate([p[1] for p in parts]))
             if b < backend_bs:  # exported program has a static batch dim
                 x = np.concatenate(
                     [x, np.zeros((backend_bs - b,) + x.shape[1:], x.dtype)])

@@ -133,6 +133,13 @@ def main(argv=None):
         out = base.parent / (base.name + ".stablehlo")
         out.write_bytes(exported.serialize())
         _write_meta(out)
+        # record the lowering platform(s) — a .stablehlo program only runs
+        # on the backend it was lowered for (backends.py checks at load)
+        meta_path = out.parent / (out.name + ".meta.yaml")
+        import yaml as _yaml2
+        m = _yaml2.safe_load(meta_path.read_text())
+        m["platforms"] = list(exported.platforms)
+        meta_path.write_text(_yaml2.safe_dump(m, sort_keys=False))
         outputs.append(out)
 
     want_sm = {"tf", "saved_model"} & set(opt.include)

@@ -53,6 +53,16 @@ def weighted_boxes_fusion(
     n_models = len(boxes_list)
     if weights is None:
         weights = np.ones(n_models)
+    elif len(weights) != n_models:
+        # package behavior: warn and fall back to uniform weights rather
+        # than silently deflating every fused score (extra weights inflate
+        # total_w) or crashing on weights[m]
+        import warnings
+
+        warnings.warn(
+            f"wbf: {len(weights)} weights for {n_models} models — ignoring"
+        )
+        weights = np.ones(n_models)
     weights = np.asarray(weights, np.float64)
 
     # prefilter + gather: rows [label, score*w, w, x1, y1, x2, y2]

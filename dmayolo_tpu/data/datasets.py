@@ -63,11 +63,13 @@ def check_dataset(data) -> Dict:
     # missing dataset gets actionable setup instructions instead
     # gate on `val` like the reference (a train-only gap still fails at the
     # scan with the offending path); list whatever else is absent alongside
-    if d.get("val") and isinstance(d["val"], str) and not Path(d["val"]).exists():
-        missing = [
-            k for k in ("train", "val") if d.get(k) and isinstance(d[k], str)
-            and not Path(d[k]).exists()
-        ]
+    def _missing(k):  # str or list-of-str (VOC-style multi-dir splits)
+        v = d.get(k)
+        paths = [v] if isinstance(v, str) else (v or [])
+        return [p for p in paths if not Path(p).exists()]
+
+    if _missing("val"):
+        missing = [p for k in ("train", "val") for p in _missing(k)]
         name = Path(str(data)).stem.lower() if isinstance(data, (str, Path)) else ""
         hint = ""
         if "visdrone" in name:
@@ -92,8 +94,7 @@ def check_dataset(data) -> Dict:
                     "run it on a connected machine and place the result under "
                     "the yaml's `path`.")
         raise FileNotFoundError(
-            "dataset paths missing: "
-            f"{list(dict.fromkeys(d[k] for k in missing))}{hint}")
+            f"dataset paths missing: {list(dict.fromkeys(missing))}{hint}")
     return d
 
 
@@ -348,12 +349,13 @@ class DetectionDataset:
         return out
 
     # -- mosaic (ref: datasets.py:680-747) ----------------------------------
-    def load_mosaic(self, index: int):
+    def load_mosaic(self, index: int, rng=None):
+        rng = self.rng if rng is None else rng
         s = self.img_size
-        yc = int(self.rng.uniform(-self.mosaic_border[0], 2 * s + self.mosaic_border[0]))
-        xc = int(self.rng.uniform(-self.mosaic_border[1], 2 * s + self.mosaic_border[1]))
-        indices = [index] + self.rng.choices(self.indices, k=3)
-        self.rng.shuffle(indices)
+        yc = int(rng.uniform(-self.mosaic_border[0], 2 * s + self.mosaic_border[0]))
+        xc = int(rng.uniform(-self.mosaic_border[1], 2 * s + self.mosaic_border[1]))
+        indices = [index] + rng.choices(self.indices, k=3)
+        rng.shuffle(indices)
         labels4, segments4 = [], []
         im4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
         for i, idx in enumerate(indices):
@@ -386,7 +388,7 @@ class DetectionDataset:
         for sg in segments4:
             np.clip(sg, 0, 2 * s, out=sg)
         im4, labels4, segments4 = copy_paste(
-            im4, labels4, segments4, p=self.hyp.get("copy_paste", 0.0), rng=self.rng
+            im4, labels4, segments4, p=self.hyp.get("copy_paste", 0.0), rng=rng
         )
         im4, labels4 = random_perspective(
             im4,
@@ -397,16 +399,17 @@ class DetectionDataset:
             shear=self.hyp.get("shear", 0.0),
             perspective=self.hyp.get("perspective", 0.0),
             border=self.mosaic_border,
-            rng=self.rng,
+            rng=rng,
             segments=segments4 if segments4 else None,
         )
         return im4, labels4
 
-    def load_mosaic9(self, index: int):
+    def load_mosaic9(self, index: int, rng=None):
         """9-image mosaic.  ref: datasets.py:750-808."""
+        rng = self.rng if rng is None else rng
         s = self.img_size
-        indices = [index] + self.rng.choices(self.indices, k=8)
-        self.rng.shuffle(indices)
+        indices = [index] + rng.choices(self.indices, k=8)
+        rng.shuffle(indices)
         labels9, segments9 = [], []
         im9 = np.full((s * 3, s * 3, 3), 114, np.uint8)
         hp = wp = h0 = w0 = 0
@@ -445,8 +448,8 @@ class DetectionDataset:
             im9[y1:y2, x1:x2] = img[y1 - pady :, x1 - padx :][: y2 - y1, : x2 - x1]
             hp, wp = h, w
 
-        yc = int(self.rng.uniform(0, s))
-        xc = int(self.rng.uniform(0, s))
+        yc = int(rng.uniform(0, s))
+        xc = int(rng.uniform(0, s))
         im9 = im9[yc : yc + 2 * s, xc : xc + 2 * s]
         labels9 = np.concatenate(labels9, 0) if labels9 else np.zeros((0, 5), np.float32)
         if labels9.size:
@@ -465,7 +468,7 @@ class DetectionDataset:
             shear=self.hyp.get("shear", 0.0),
             perspective=self.hyp.get("perspective", 0.0),
             border=self.mosaic_border,
-            rng=self.rng,
+            rng=rng,
             segments=segments9 if segments9 else None,
         )
         return im9, labels9
@@ -475,15 +478,25 @@ class DetectionDataset:
         return self.n
 
     def __getitem__(self, index: int):
+        return self.get(index, self.rng)
+
+    def get(self, index: int, rng):
+        """Item fetch with an explicit rng.
+
+        The loader's worker threads call this with a per-sample
+        `random.Random(hash((seed, epoch, index)))` so the augmentation
+        stream is a pure function of (seed, epoch, index) — independent of
+        thread interleaving.  (`__getitem__` keeps the shared-rng path for
+        direct sequential use.)"""
         hyp = self.hyp
-        if self.mosaic and self.rng.random() < hyp.get("mosaic", 1.0):
-            if self.rng.random() < hyp.get("mosaic9", 0.0):
-                img, labels = self.load_mosaic9(index)
+        if self.mosaic and rng.random() < hyp.get("mosaic", 1.0):
+            if rng.random() < hyp.get("mosaic9", 0.0):
+                img, labels = self.load_mosaic9(index, rng)
             else:
-                img, labels = self.load_mosaic(index)
-            if self.rng.random() < hyp.get("mixup", 0.0):
-                img2, labels2 = self.load_mosaic(self.rng.choice(self.indices))
-                img, labels = mixup(img, labels, img2, labels2, self.rng)
+                img, labels = self.load_mosaic(index, rng)
+            if rng.random() < hyp.get("mixup", 0.0):
+                img2, labels2 = self.load_mosaic(rng.choice(self.indices), rng)
+                img, labels = mixup(img, labels, img2, labels2, rng)
         else:
             img, (h0, w0), (h, w) = self.load_image(index)
             shape = (
@@ -506,7 +519,7 @@ class DetectionDataset:
                     scale=hyp.get("scale", 0.5),
                     shear=hyp.get("shear", 0.0),
                     perspective=hyp.get("perspective", 0.0),
-                    rng=self.rng,
+                    rng=rng,
                 )
 
         nl = len(labels)
@@ -520,28 +533,28 @@ class DetectionDataset:
             if nl:
                 px = out.copy()
                 px[:, 1:] = _xywhn2xyxy_np(out[:, 1:], img.shape[1], img.shape[0])
-                px = cutout(img, px, p=hyp["cutout"], rng=self.rng)
+                px = cutout(img, px, p=hyp["cutout"], rng=rng)
                 nl = len(px)
                 out = np.zeros((nl, 5), np.float32)
                 if nl:
                     out[:, 0] = px[:, 0]
                     out[:, 1:] = _xyxy2xywhn_np(px[:, 1:5], img.shape[1], img.shape[0])
             else:
-                cutout(img, np.zeros((0, 5), np.float32), p=hyp["cutout"], rng=self.rng)
+                cutout(img, np.zeros((0, 5), np.float32), p=hyp["cutout"], rng=rng)
         if self.augment:
             # photometric pipeline sits where the reference runs its optional
             # Albumentations pass: after geometry, before HSV (datasets.py:585)
-            img = photometric(img, hyp, self.rng)
+            img = photometric(img, hyp, rng)
             augment_hsv(
                 img,
                 hyp.get("hsv_h", 0.015),
                 hyp.get("hsv_s", 0.7),
                 hyp.get("hsv_v", 0.4),
-                self.rng,
+                rng,
             )
-            if self.rng.random() < hyp.get("flipud", 0.0):
+            if rng.random() < hyp.get("flipud", 0.0):
                 img, out = flip_ud(img, out)
-            if self.rng.random() < hyp.get("fliplr", 0.5):
+            if rng.random() < hyp.get("fliplr", 0.5):
                 img, out = flip_lr(img, out)
 
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)

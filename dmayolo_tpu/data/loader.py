@@ -13,6 +13,7 @@ Fixed M (max_targets) keeps every train step the same XLA program.
 from __future__ import annotations
 
 import queue
+import random
 import threading
 from typing import Iterator, Optional
 
@@ -132,7 +133,19 @@ class DataLoader:
                 except queue.Empty:
                     return
                 try:
-                    samples = [self.ds[i] for i in idxs]
+                    if hasattr(self.ds, "get"):
+                        # per-sample rng keyed by (seed, epoch, index): the
+                        # augmentation stream must be a pure function of
+                        # those three, never of which thread ran first — a
+                        # shared dataset rng under >1 workers makes training
+                        # irreproducible under host-load variance
+                        samples = [
+                            self.ds.get(
+                                i, random.Random(hash((self._seed, epoch, int(i)))))
+                            for i in idxs
+                        ]
+                    else:
+                        samples = [self.ds[i] for i in idxs]
                     if self.quad:
                         # per-batch rng derived from (seed, epoch, j) — the
                         # shared self.rng must not be touched from workers,

@@ -125,10 +125,16 @@ def main():
     results = {}
     for name in CONFIGS:
         errpath = f"/tmp/serve_flags_{name}.err"
-        with open(errpath, "w") as ef:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", name],
-                stdout=subprocess.PIPE, stderr=ef, text=True, timeout=3600)
+        try:
+            with open(errpath, "w") as ef:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--child", name],
+                    stdout=subprocess.PIPE, stderr=ef, text=True, timeout=3600)
+        except subprocess.TimeoutExpired:
+            # one hung compile must not lose the whole sweep's results table
+            results[name] = {"error": "timeout (3600s)"}
+            print(f"{name:22s} TIMEOUT", flush=True)
+            continue
         line = next((ln for ln in r.stdout.splitlines()
                      if ln.startswith("{")), None)
         if r.returncode != 0 or line is None:

@@ -106,3 +106,47 @@ def test_disk_cache_keyed_by_img_size(tmp_path):
     im640 = ds640.load_image(0)[0]
     assert max(im640.shape[:2]) > max(im320.shape[:2]), \
         "disk cache served a stale resolution"
+
+
+def test_augment_stream_independent_of_worker_count(tmp_path):
+    """Training reproducibility: augmented batches must be a pure function
+    of (seed, epoch, index) — never of thread scheduling.  A shared dataset
+    rng drawn from concurrent workers made identically-seeded runs diverge
+    under host-load variance (caught as a flaky bf16-delta suite failure)."""
+    path = _mk_dataset(tmp_path, n=16, size=48)
+    hyp = {"mosaic": 1.0, "mixup": 0.5, "fliplr": 0.5, "flipud": 0.5,
+           "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4, "scale": 0.5}
+
+    def epochs(workers, n_epochs=2):
+        ds = DetectionDataset(path, img_size=64, augment=True, hyp=hyp, seed=3)
+        loader = DataLoader(ds, batch_size=4, max_targets=16, shuffle=True,
+                            workers=workers, seed=3)
+        return [[(b.images.copy(), np.asarray(b.targets.box).copy())
+                 for b in loader] for _ in range(n_epochs)]
+
+    a, b = epochs(1), epochs(4)
+    for ea, eb in zip(a, b):
+        for (ia, ta), (ib, tb) in zip(ea, eb):
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(ta, tb)
+    # and the stream must still differ ACROSS epochs (epoch term in the key)
+    assert any(not np.array_equal(x[0], y[0]) for x, y in zip(a[0], a[1]))
+
+
+def test_check_dataset_missing_guidance_handles_list_val(tmp_path):
+    """VOC-style list-valued `val:` must hit the same actionable missing-
+    dataset error as a plain string (it used to bypass the check)."""
+    from dmayolo_tpu.data.datasets import check_dataset
+
+    y = tmp_path / "d.yaml"
+    y.write_text(
+        f"path: {tmp_path}\ntrain: [images/t1, images/t2]\n"
+        "val: [images/v1, images/v2]\nnc: 1\nnames: [thing]\n"
+        "download: echo get-it-elsewhere\n")
+    with pytest.raises(FileNotFoundError, match="dataset paths missing"):
+        check_dataset(y)
+    # present list-valued val passes through resolved
+    for sub in ("images/v1", "images/v2", "images/t1", "images/t2"):
+        (tmp_path / sub).mkdir(parents=True)
+    d = check_dataset(y)
+    assert [str(tmp_path / "images/v1"), str(tmp_path / "images/v2")] == d["val"]

@@ -97,3 +97,45 @@ def test_detect_runs_exported_artifacts(tmp_path):
                 d = np.abs(x[:, None, :] - y[None, :, :]).max(-1)
                 matched = (d.min(1) < 5e-3).mean()
                 assert matched >= min_match[kind], (kind, stem, tag, matched)
+
+
+def test_streams_batch_exceeding_exported_batch_chunks(tmp_path, capsys):
+    """Two live sources through a batch-1 exported program: the backend
+    infer must chunk (it used to die on `assert b <= backend_bs`)."""
+    import cv2
+
+    from dmayolo_tpu.cli.detect import main as detect_main
+    from dmayolo_tpu.cli.export import main as export_main
+
+    model = DetectionModel(TINY_CFG)
+    params, stats = model.init_with_priors(jax.random.PRNGKey(4))
+    ckpt = tmp_path / "w.npz"
+    save_checkpoint(ckpt, params=params, stats=stats,
+                    meta={"cfg": TINY_CFG, "nc": TINY_CFG["nc"]})
+    (art,) = export_main([
+        "--weights", str(ckpt), "--imgsz", "128", "--batch-size", "1",
+        "--include", "stablehlo", "--device", "cpu", "--fp32",
+    ])
+
+    rng = np.random.default_rng(9)
+    vids = []
+    for i in range(2):
+        v = tmp_path / f"s{i}.mp4"
+        vw = cv2.VideoWriter(str(v), cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (160, 120))
+        assert vw.isOpened()
+        for _ in range(20):
+            vw.write(rng.integers(0, 255, (120, 160, 3), dtype=np.uint8))
+        vw.release()
+        vids.append(v)
+    streams = tmp_path / "src.streams"
+    streams.write_text("\n".join(str(v) for v in vids) + "\n")
+
+    detect_main([
+        "--weights", str(art), "--source", str(streams),
+        "--imgsz", "128", "--conf-thres", "0.001",
+        "--project", str(tmp_path / "runs"), "--name", "s", "--exist-ok",
+        "--device", "cpu",
+    ])
+    out = capsys.readouterr().out
+    assert "2 sources" in out

@@ -203,3 +203,17 @@ def test_wbf_cli_end_to_end_improves_map(tmp_path):
     map_f = _map50(out, gt, one_indexed=True)  # ref-parity 1-indexed output
     assert map_f >= max(map_a, map_b), (map_f, map_a, map_b)
     assert map_f > 0.5, map_f
+
+
+def test_weights_length_mismatch_resets_to_ones():
+    """Package behavior: len(weights) != n_models warns and falls back to
+    uniform weights (neither silently deflates scores nor IndexErrors)."""
+    b = [np.array([[0.1, 0.1, 0.5, 0.5]]), np.array([[0.1, 0.1, 0.5, 0.5]])]
+    s = [np.array([0.8]), np.array([0.6])]
+    l = [np.array([0.0]), np.array([0.0])]
+    ref_boxes, ref_scores, _ = weighted_boxes_fusion(b, s, l, iou_thr=0.5)
+    for bad in ([2.0, 1.0, 3.0], [2.0]):
+        with pytest.warns(UserWarning, match="weights"):
+            bb, ss, _ = weighted_boxes_fusion(b, s, l, weights=bad, iou_thr=0.5)
+        np.testing.assert_allclose(ss, ref_scores)
+        np.testing.assert_allclose(bb, ref_boxes)
