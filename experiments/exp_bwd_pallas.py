@@ -55,23 +55,26 @@ def calibrate():
     print(f"scan overhead {_OVERHEAD_MS[0]:.1f} ms/run", flush=True)
 
 
-def scan_time(fn, x, label, flops=None):
+def scan_time(fn, args, label, flops=None):
+    """Time fn(*args) via an in-program scan.  All big arrays must be in
+    `args` (explicit jit operands) — a closed-over device array becomes an
+    HLO constant and the axon remote-compile request 413s past ~100 MB."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(xx):
+    def run(a0, *rest):
         def body(c, _):
-            out = fn(xx + c)
-            return (jnp.sum(out.astype(jnp.float32)) * 1e-30).astype(xx.dtype), ()
-        c, _ = jax.lax.scan(body, jnp.zeros((), xx.dtype), None, length=ITERS)
+            out = fn(a0 + c, *rest)
+            return (jnp.sum(out.astype(jnp.float32)) * 1e-30).astype(a0.dtype), ()
+        c, _ = jax.lax.scan(body, jnp.zeros((), a0.dtype), None, length=ITERS)
         return c
 
-    float(run(x))
+    float(run(*args))
     t0 = time.perf_counter()
-    float(run(x))
+    float(run(*args))
     dt = ((time.perf_counter() - t0) * 1000 - _OVERHEAD_MS[0]) / ITERS
-    tf = f"  {flops / dt / 1e9:6.1f} TF/s" if flops else ""
+    tf = f"  {flops / dt:6.1f} TF/s" if flops else ""
     print(f"  {label:26s} {dt:8.3f} ms{tf}", flush=True)
     return dt
 
@@ -109,26 +112,30 @@ def main():
                         dtype=jnp.bfloat16)
         w_hat = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))  # rot180 + c-swap
 
-        t_fwd = scan_time(lambda xx: conv(xx, w), x, "XLA fwd", gf)
+        t_fwd = scan_time(lambda xx, ww: conv(xx, ww), (x, w), "XLA fwd", gf)
 
         # dX: vjp wrt x, driven by the cotangent g
-        def dx_xla(gg):
-            _, vjp = jax.vjp(lambda xx: conv(xx, w), jnp.zeros_like(x))
+        def dx_xla(gg, ww):
+            _, vjp = jax.vjp(lambda xx: conv(xx, ww),
+                             jnp.zeros(gg.shape[:3] + (ww.shape[2],), gg.dtype))
             return vjp(gg)[0]
-        t_dx = scan_time(dx_xla, g, "XLA dX", gf)
+        t_dx = scan_time(dx_xla, (g, w), "XLA dX", gf)
 
-        def dw_xla(gg):
-            _, vjp = jax.vjp(lambda ww: conv(x, ww), w)
+        def dw_xla(gg, xx, ww):
+            _, vjp = jax.vjp(lambda w_: conv(xx, w_), ww)
             return vjp(gg)[0]
-        t_dw = scan_time(dw_xla, g, "XLA dW", gf)
+        t_dw = scan_time(dw_xla, (g, x, w), "XLA dW", gf)
 
         row = {"shape": (B, H, W, C1, C2), "fwd": t_fwd, "dx_xla": t_dx,
                "dw_xla": t_dw}
-        if pick_tile(H) and pick_tile(W):
-            t_pdx = scan_time(lambda gg: conv3x3_s1(gg, w_hat), g,
+        th, tw = pick_tile(H), pick_tile(W)
+        c1p = -(-C2 // 128) * 128  # dX input channels = C2, lane-padded
+        vmem_mb = ((th or 0) + 2) * ((tw or 0) + 8) * c1p * 2 / 2**20
+        if th and tw and vmem_mb < 12:  # kernel scratch must fit scoped VMEM
+            t_pdx = scan_time(lambda gg, wh: conv3x3_s1(gg, wh), (g, w_hat),
                               "Pallas dX", gf)
             # parity check
-            ref = dx_xla(g)
+            ref = jax.jit(dx_xla)(g, w)
             got = conv3x3_s1(g, w_hat)
             err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
                                         - got.astype(jnp.float32))))
