@@ -53,7 +53,7 @@ def main():
         rev = "nogit"
     enable_compilation_cache(f"~/.cache/dmayolo_jax_bench/{rev}")
 
-    from dmayolo_tpu.core.nms import nms_parts
+
     from dmayolo_tpu.graph import DetectionModel
     from dmayolo_tpu.nn.fuse import fuse_params
 
@@ -73,15 +73,15 @@ def main():
         def serve(p, s, x):
             xf = x.astype(jnp.bfloat16) / 255.0
             raw = model.apply(p, s, xf, fused=True, dtype=jnp.bfloat16)
-            # fused per-scale decode (no (B,N,5+nc) materialisation) + NMS;
+            # head-aware serving tail (lazy decode_topk for TDetect, eager
+            # decode_parts for Detect; see DetectionModel.serve_detections);
             # numerically identical to decode+batched_nms single-label.
             # serving NMS: conf 0.25 yields well under 512 candidates/img, so
             # a 512 top-k budget is lossless here; eval (conf 0.001) uses the
             # protocol budget 30000 via eval/validator defaults.
-            boxes, scores, cls = model.decode_parts(raw)
-            return nms_parts(boxes, scores, cls, conf_thres=0.25,
-                             iou_thres=0.45, max_det=300, max_nms=512,
-                             backend="matrix")
+            return model.serve_detections(raw, conf_thres=0.25,
+                                          iou_thres=0.45, max_det=300,
+                                          max_nms=512, backend="matrix")
         return serve
 
     # fixed per-run host-read/tunnel overhead for the scan timer, measured

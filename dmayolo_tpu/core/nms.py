@@ -304,7 +304,33 @@ def nms_parts(
     top_scores, top_idx = _top_k_candidates(cand, k)
     top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
     top_cls = jnp.take_along_axis(cls, top_idx, axis=1)
+    return nms_from_topk(top_boxes, top_scores, top_cls, iou_thres=iou_thres,
+                         agnostic=agnostic, max_det=max_det, backend=backend)
 
+
+@partial(
+    jax.jit,
+    static_argnames=("iou_thres", "agnostic", "max_det", "backend"),
+)
+def nms_from_topk(
+    top_boxes,
+    top_scores,
+    top_cls,
+    iou_thres: float = 0.45,
+    agnostic: bool = False,
+    max_det: int = 300,
+    backend: str = "matrix",
+):
+    """NMS over candidates already conf-gated + top-k'd — the lazy-decode
+    serving tail (`DetectionModel.decode_topk` -> here).  Identical to the
+    back half of `nms_parts`; that path now routes through this one.
+
+    Args:
+        top_boxes: (B, K, 4) xyxy, rank-sorted by score desc.
+        top_scores: (B, K) desc, NEG_INF for conf-gated-out slots.
+        top_cls: (B, K) best-class index (float).
+    Returns (dets (B, max_det, 6), valid (B, max_det)).
+    """
     offset = 0.0 if agnostic else MAX_WH
     nms_boxes = top_boxes + (top_cls * offset)[..., None]
     if backend == "pallas":

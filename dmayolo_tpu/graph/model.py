@@ -314,6 +314,57 @@ class DetectionModel(Module):
         core.nms.nms_parts."""
         return self.head.decode_parts(raw, class_mask)
 
+    def decode_topk(self, raw, k: int = 512, conf_thres: float = 0.25,
+                    class_mask=None):
+        """Lazy serving decode: conf-gate + top-k on a fused score pass,
+        then decode boxes for the K survivors only (heads.decode_scores /
+        decode_at) — the (B, N, 4) all-anchor box tensor never exists.
+        Numerically identical to decode_parts + nms_parts' candidate
+        selection (tested); feed the result to core.nms.nms_from_topk.
+
+        Returns (top_boxes (B, K, 4), top_scores (B, K), top_cls (B, K)).
+        """
+        from ..core.nms import NEG_INF, _top_k_candidates
+
+        scores = self.head.decode_scores(raw, class_mask)
+        cand = jnp.where(scores > conf_thres, scores, NEG_INF)
+        top_scores, top_idx = _top_k_candidates(
+            cand, min(k, cand.shape[1]))
+        boxes, cls = self.head.decode_at(raw, top_idx)
+        return boxes, top_scores, cls
+
+    def serve_detections(self, raw, conf_thres: float = 0.25,
+                         iou_thres: float = 0.45, max_det: int = 300,
+                         max_nms: int = 512, backend: str = "matrix",
+                         agnostic: bool = False, class_mask=None):
+        """Head-aware serving tail: raw head outputs -> (dets, valid).
+
+        Picks the measured-faster single-label decode per head family
+        (experiments/exp_lazy_decode.py, chip-timed): TDetect goes through
+        the lazy decode_topk path (+3.5% end-to-end — the all-anchor DFL
+        softmax-expectation is skipped for everything outside the top-k);
+        Detect keeps the eager decode_parts path (the lazy gathers cost
+        more than the all-anchor box math they avoid).  Both tails are
+        numerically identical to decode + single-label batched_nms.
+        """
+        from ..core.nms import nms_from_topk, nms_parts
+        from ..nn.heads import TDetect
+
+        n_anchors = sum(x.shape[1] * x.shape[2] for x in raw)
+        if isinstance(self.head, TDetect) and max_nms < n_anchors:
+            tb, ts, tc = self.decode_topk(raw, k=max_nms,
+                                          conf_thres=conf_thres,
+                                          class_mask=class_mask)
+            return nms_from_topk(tb, ts, tc, iou_thres=iou_thres,
+                                 agnostic=agnostic, max_det=max_det,
+                                 backend=backend)
+        boxes, scores, cls = self.decode_parts(raw, class_mask=class_mask)
+        return nms_parts(boxes, scores, cls, conf_thres=conf_thres,
+                         iou_thres=iou_thres, agnostic=agnostic,
+                         max_det=max_det,
+                         max_nms=min(max_nms, boxes.shape[1]),
+                         backend=backend)
+
     def apply_with_features(self, params, stats, x, dtype=jnp.float32,
                             fused: bool = False):
         """Forward that also returns every layer's output (host-side feature

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from collections import OrderedDict
 
-from .core.nms import batched_nms, nms_parts
+from .core.nms import batched_nms
 from .data.augment import letterbox
 from .eval.validator import _scale_to_native
 from .graph import DetectionModel
@@ -100,12 +100,11 @@ class AutoShape:
                 raw = model.apply(p, s, x.astype(dtype) / 255.0,
                                   dtype=dtype, fused=True)
                 if not self.multi_label:
-                    # serving fast path: fused per-scale decode (identical
+                    # serving fast path: head-aware fused decode (identical
                     # results to decode + single-label batched_nms)
-                    boxes, scores, cls = model.decode_parts(raw)
-                    return nms_parts(boxes, scores, cls, conf_thres=self.conf,
-                                     iou_thres=self.iou, max_det=self.max_det,
-                                     max_nms=30000)
+                    return model.serve_detections(
+                        raw, conf_thres=self.conf, iou_thres=self.iou,
+                        max_det=self.max_det, max_nms=30000)
                 dec = model.decode(raw)
                 if dec.shape[-1] == model.nc + 4:
                     dec = jnp.concatenate(

@@ -117,6 +117,80 @@ class Detect(Module):
         return (jnp.concatenate(bxs, 1), jnp.concatenate(scs, 1),
                 jnp.concatenate(cls_, 1))
 
+    def decode_scores(self, raw: Sequence[jax.Array], class_mask=None):
+        """Lazy-decode pass 1: best-class scores only, (B, N) f32 in the
+        reference candidate order (same values as decode_parts' `scores`).
+
+        Skips all box math — boxes are decoded by `decode_at` for the few
+        candidates that survive top-k, so the (B, N, 4) box tensor (and its
+        layout-hostile 4-wide minor dim) never exists.  Traffic per scale is
+        one read of the raw head output and one (B, na*ny*nx) f32 write.
+        """
+        outs = []
+        for x in raw:
+            b, ny, nx, na, no = x.shape
+            y = jax.nn.sigmoid(x[..., 4:].astype(jnp.float32))
+            conf = y[..., 0:1] * y[..., 1:]
+            best = jnp.max(conf, axis=-1)
+            if class_mask is not None:
+                bc = jnp.argmax(conf, axis=-1)
+                best = jnp.where(class_mask[bc], best, 0.0)
+            outs.append(best.transpose(0, 3, 1, 2).reshape(b, na * ny * nx))
+        return jnp.concatenate(outs, 1)
+
+    def _candidate_constants(self, shapes):
+        """(N, 5) f32 numpy table [grid_x, grid_y, anchor_w_px, anchor_h_px,
+        stride] per candidate in reference (scale, a, y, x) order — built
+        host-side from static shapes, a trace-time constant."""
+        rows = []
+        for i, (ny, nx) in enumerate(shapes):
+            s = float(self.stride[i])
+            gx, gy = np.meshgrid(np.arange(nx, dtype=np.float32),
+                                 np.arange(ny, dtype=np.float32), indexing="xy")
+            anchor_px = self.anchors[i] * s  # (na, 2)
+            t = np.empty((self.na, ny, nx, 5), np.float32)
+            t[..., 0] = gx[None]
+            t[..., 1] = gy[None]
+            t[..., 2] = anchor_px[:, None, None, 0]
+            t[..., 3] = anchor_px[:, None, None, 1]
+            t[..., 4] = s
+            rows.append(t.reshape(-1, 5))
+        return np.concatenate(rows, 0)
+
+    def decode_at(self, raw: Sequence[jax.Array], idx: jax.Array):
+        """Lazy-decode pass 2: decode boxes + best class at gathered indices.
+
+        idx: (B, K) global candidate indices in reference order (from top-k
+        over `decode_scores`).  Gathers K raw rows per scale with integer
+        index remapping ((a,y,x) reference order -> the natural (y,x,a) row
+        layout, so the raw tensors are never transposed), then runs exactly
+        the per-element math of `decode_parts` on the (B, K, no) slice.
+        Returns (boxes_xyxy (B, K, 4), cls (B, K) f32).
+        """
+        b = raw[0].shape[0]
+        no = raw[0].shape[-1]
+        rows = jnp.zeros((b, idx.shape[1], no), raw[0].dtype)
+        off = 0
+        for x in raw:
+            _, ny, nx, na, _ = x.shape
+            n_i = na * ny * nx
+            flat = x.reshape(b, n_i, no)                 # natural (y,x,a) order
+            li = jnp.clip(idx - off, 0, n_i - 1)
+            nat = (li % (ny * nx)) * na + li // (ny * nx)
+            got = jnp.take_along_axis(flat, nat[..., None], axis=1)
+            pick = (idx >= off) & (idx < off + n_i)
+            rows = jnp.where(pick[..., None], got, rows)
+            off += n_i
+        shapes = [(x.shape[1], x.shape[2]) for x in raw]
+        cv = jnp.asarray(self._candidate_constants(shapes))[idx]  # (B,K,5)
+        y = jax.nn.sigmoid(rows.astype(jnp.float32))
+        xy = (y[..., 0:2] * 2 - 0.5 + cv[..., 0:2]) * cv[..., 4:5]
+        wh = (y[..., 2:4] * 2) ** 2 * cv[..., 2:4]
+        half = wh * 0.5
+        boxes = jnp.concatenate([xy - half, xy + half], axis=-1)
+        conf = y[..., 4:5] * y[..., 5:]
+        return boxes, jnp.argmax(conf, axis=-1).astype(jnp.float32)
+
 
 def dfl_expectation(box_logits: jax.Array, reg_max: int = 16) -> jax.Array:
     """Distribution-focal decode: softmax expectation over reg_max bins.
@@ -238,3 +312,57 @@ class TDetect(Module):
         if class_mask is not None:
             best = jnp.where(class_mask[bc], best, 0.0)
         return boxes, best, bc.astype(jnp.float32)
+
+    def decode_scores(self, raw: Sequence[jax.Array], class_mask=None):
+        """Lazy-decode pass 1 (cf. Detect.decode_scores): best-class scores
+        (B, A) f32.  TDetect candidates are already in natural (y, x) order,
+        and — the big win — the DFL softmax-expectation over every anchor's
+        4x reg_max box bins is skipped entirely here."""
+        outs = []
+        for x in raw:
+            b = x.shape[0]
+            conf = jax.nn.sigmoid(
+                x[..., 4 * self.reg_max:].astype(jnp.float32))
+            best = jnp.max(conf, axis=-1)
+            if class_mask is not None:
+                bc = jnp.argmax(conf, axis=-1)
+                best = jnp.where(class_mask[bc], best, 0.0)
+            outs.append(best.reshape(b, -1))
+        return jnp.concatenate(outs, 1)
+
+    def _candidate_constants(self, shapes):
+        """(A, 3) f32 numpy [anchor_x, anchor_y, stride] (feature units /
+        px), matching make_anchor_points' values and order exactly."""
+        rows = []
+        for (ny, nx), s in zip(shapes, self.stride):
+            gx, gy = np.meshgrid(np.arange(nx, dtype=np.float32) + 0.5,
+                                 np.arange(ny, dtype=np.float32) + 0.5,
+                                 indexing="xy")
+            t = np.stack([gx, gy, np.full_like(gx, float(s))], -1)
+            rows.append(t.reshape(-1, 3))
+        return np.concatenate(rows, 0)
+
+    def decode_at(self, raw: Sequence[jax.Array], idx: jax.Array):
+        """Lazy-decode pass 2 (cf. Detect.decode_at): DFL box decode + best
+        class for the gathered (B, K) candidate rows only.  Returns
+        (boxes_xyxy (B, K, 4), cls (B, K) f32)."""
+        b = raw[0].shape[0]
+        rows = jnp.zeros((b, idx.shape[1], self.no), raw[0].dtype)
+        off = 0
+        for x in raw:
+            _, ny, nx, _ = x.shape
+            n_i = ny * nx
+            flat = x.reshape(b, n_i, self.no)
+            li = jnp.clip(idx - off, 0, n_i - 1)
+            got = jnp.take_along_axis(flat, li[..., None], axis=1)
+            pick = (idx >= off) & (idx < off + n_i)
+            rows = jnp.where(pick[..., None], got, rows)
+            off += n_i
+        shapes = [(x.shape[1], x.shape[2]) for x in raw]
+        cv = jnp.asarray(self._candidate_constants(shapes))[idx]  # (B,K,3)
+        k = idx.shape[1]
+        dist = dfl_expectation(
+            rows[..., : 4 * self.reg_max].reshape(b, k, 4, self.reg_max))
+        boxes = dist2bbox(dist, cv[..., 0:2], xywh=False) * cv[..., 2:3]
+        conf = jax.nn.sigmoid(rows[..., 4 * self.reg_max:].astype(jnp.float32))
+        return boxes, jnp.argmax(conf, axis=-1).astype(jnp.float32)

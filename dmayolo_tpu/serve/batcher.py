@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.nms import nms_parts
+
 from ..data.augment import letterbox
 from ..eval.validator import _scale_to_native
 
@@ -108,11 +108,12 @@ class MicroBatcher:
         def _serve(p, s, x):
             xf = x.astype(dtype) / 255.0
             raw = model.apply(p, s, xf, fused=True, dtype=dtype)
-            boxes, scores, cls = model.decode_parts(raw)
-            return nms_parts(boxes, scores, cls, conf_thres=conf_thres,
-                             iou_thres=iou_thres, max_det=max_det,
-                             max_nms=min(max_nms, boxes.shape[1]),
-                             backend=nms_backend)
+            # head-aware tail: lazy decode_topk for TDetect, eager
+            # decode_parts for Detect (DetectionModel.serve_detections)
+            return model.serve_detections(raw, conf_thres=conf_thres,
+                                          iou_thres=iou_thres,
+                                          max_det=max_det, max_nms=max_nms,
+                                          backend=nms_backend)
 
         # params as jit args, not closure constants (see hub.AutoShape._infer)
         self._serve = jax.jit(_serve)
