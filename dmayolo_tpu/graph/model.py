@@ -350,8 +350,18 @@ class DetectionModel(Module):
         from ..core.nms import nms_from_topk, nms_parts
         from ..nn.heads import TDetect
 
-        n_anchors = sum(x.shape[1] * x.shape[2] for x in raw)
-        if isinstance(self.head, TDetect) and max_nms < n_anchors:
+        # candidate count per head family: TDetect is one candidate per
+        # cell (raw (B,ny,nx,no)); anchor-based Detect is na per cell
+        # (raw (B,ny,nx,na,no)).
+        if isinstance(self.head, TDetect):
+            n_anchors = sum(x.shape[1] * x.shape[2] for x in raw)
+        else:
+            n_anchors = sum(x.shape[1] * x.shape[2] * x.shape[3] for x in raw)
+        # The lazy path was only measured a win at serving-sized k
+        # (K=512, exp_lazy_decode.py); a k ~ n_anchors lazy pass is a
+        # full-width approx_max_k plus k-row gathers and would lose to
+        # eager, so gate on k being small relative to the candidate set.
+        if isinstance(self.head, TDetect) and max_nms * 4 <= n_anchors:
             tb, ts, tc = self.decode_topk(raw, k=max_nms,
                                           conf_thres=conf_thres,
                                           class_mask=class_mask)

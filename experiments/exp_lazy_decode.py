@@ -16,7 +16,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from exp_serve_decomp import BS, calibrate, scan_time  # noqa: E402
+from exp_serve_decomp import calibrate, scan_time  # noqa: E402
 
 
 def main():
