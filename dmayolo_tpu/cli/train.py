@@ -205,6 +205,14 @@ def main(argv=None):
         best = evolve(train_once, hyp, generations=opt.evolve, out_dir=str(out),
                       autoanchor=not opt.noautoanchor)
         print("evolved hyp:", best)
+        # ref train.py:817: plot_evolve(evolve_csv) after the GA finishes
+        try:
+            from ..utils.plots import plot_evolve
+
+            png = plot_evolve(out / "evolve.csv")
+            print(f"evolve plot -> {png}")
+        except Exception as e:  # plotting must never fail the run
+            print(f"plot_evolve failed: {type(e).__name__}: {e}")
         return best
 
     trainer = _make_trainer(opt, hyp, str(out))

@@ -146,6 +146,55 @@ def _fixpoint_keep(iou, valid, iou_thres: float):
     return lo  # == hi at the fixpoint
 
 
+def _suppression_matrix(boxes, valid, iou_thres: float):
+    """(B, K, K) bf16 suppression matrix built straight from boxes.
+
+    Fuses _pairwise_iou + threshold + rank/valid masks into one elementwise
+    pass whose only materialised product is S itself — the (B, K, K) f32
+    IoU tensor never exists in HBM.  The threshold uses the divide-free
+    form  iou > t  <=>  inter > t * (union + eps)  (denominator positive);
+    equivalent up to one f32 rounding on exact-boundary pairs.
+    """
+    a1 = (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
+    ix1 = jnp.maximum(boxes[..., :, None, 0], boxes[..., None, :, 0])
+    iy1 = jnp.maximum(boxes[..., :, None, 1], boxes[..., None, :, 1])
+    ix2 = jnp.minimum(boxes[..., :, None, 2], boxes[..., None, :, 2])
+    iy2 = jnp.minimum(boxes[..., :, None, 3], boxes[..., None, :, 3])
+    inter = jnp.clip(ix2 - ix1, 0, None) * jnp.clip(iy2 - iy1, 0, None)
+    union = a1[..., :, None] + a1[..., None, :] - inter + 1e-7
+    k = boxes.shape[-2]
+    rank = jnp.arange(k)
+    return (
+        (inter > iou_thres * union)
+        & (rank[None, :, None] < rank[None, None, :])
+        & valid[:, :, None]
+    ).astype(jnp.bfloat16)
+
+
+def _fixpoint_keep_boxes(boxes, valid, iou_thres: float):
+    """_fixpoint_keep, but S is built fused from boxes (no IoU tensor)."""
+    S = _suppression_matrix(boxes, valid, iou_thres)
+    k = S.shape[-1]
+
+    def T(kvec):
+        sup = jnp.einsum("bij,bi->bj", S, kvec.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return (sup < 0.5) & valid
+
+    def cond(state):
+        lo, hi, i = state
+        return jnp.logical_and(jnp.any(lo != hi), i < k)
+
+    def body(state):
+        lo, hi, i = state
+        return T(hi), T(lo), i + 1
+
+    lo0 = T(valid)
+    hi0 = T(lo0)
+    lo, _, _ = jax.lax.while_loop(cond, body, (lo0, hi0, jnp.int32(0)))
+    return lo
+
+
 def _top_k_candidates(scores, k: int):
     """Exact top-k for candidate selection, TPU-optimised.
 
@@ -252,7 +301,7 @@ def nms_matrix(boxes, scores, iou_thres: float, max_det: int = 300,
     if k > block:
         return nms_matrix_blocked(boxes, scores, iou_thres, max_det, block)
     valid = scores > NEG_INF / 2
-    keep = _fixpoint_keep(_pairwise_iou(boxes, boxes), valid, iou_thres)
+    keep = _fixpoint_keep_boxes(boxes, valid, iou_thres)
     keep_scores = jnp.where(keep, scores, NEG_INF)
     # K can be smaller than max_det (tiny decodes, max_nms < max_det):
     # top_k would raise at trace time, so clamp and pad to the fixed width

@@ -93,21 +93,27 @@ class Detect(Module):
         bxs, scs, cls_ = [], [], []
         for i, x in enumerate(raw):
             b, ny, nx, na, no = x.shape
-            y = jax.nn.sigmoid(x.astype(jnp.float32))
+            # class reduce on the raw logits: sigmoid is strictly monotone,
+            # so max_c sigmoid(obj)*sigmoid(cls_c) == sigmoid(obj) *
+            # sigmoid(max_c cls_c) and argmax(logits) == argmax(probs) —
+            # the (…, nc) f32 probability tensor never materialises
+            # (bit-identical outputs; exp_v5s_decode2.py chip-verified)
+            best_logit = jnp.max(x[..., 5:], axis=-1)
+            bc = jnp.argmax(x[..., 5:], axis=-1)
+            y4 = jax.nn.sigmoid(x[..., 0:4].astype(jnp.float32))
             gx = jnp.arange(nx, dtype=jnp.float32)
             gy = jnp.arange(ny, dtype=jnp.float32)
             grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)
             anchor_px = jnp.asarray(self.anchors[i] * self.stride[i])
-            xy = (y[..., 0:2] * 2 - 0.5 + grid[None, :, :, None, :]) * self.stride[i]
-            wh = (y[..., 2:4] * 2) ** 2 * anchor_px[None, None, None, :, :]
+            xy = (y4[..., 0:2] * 2 - 0.5 + grid[None, :, :, None, :]) * self.stride[i]
+            wh = (y4[..., 2:4] * 2) ** 2 * anchor_px[None, None, None, :, :]
             half = wh * 0.5
             box = jnp.concatenate([xy - half, xy + half], axis=-1)
-            conf = y[..., 4:5] * y[..., 5:]
             # reference classes-filter semantics (general.py:683-693): pick
             # the best class FIRST, then drop whole detections whose best
             # class is excluded — never re-label with the best allowed class
-            best = jnp.max(conf, axis=-1)
-            bc = jnp.argmax(conf, axis=-1)
+            best = (jax.nn.sigmoid(x[..., 4].astype(jnp.float32))
+                    * jax.nn.sigmoid(best_logit.astype(jnp.float32)))
             if class_mask is not None:
                 best = jnp.where(class_mask[bc], best, 0.0)
             bc = bc.astype(jnp.float32)
@@ -129,11 +135,13 @@ class Detect(Module):
         outs = []
         for x in raw:
             b, ny, nx, na, no = x.shape
-            y = jax.nn.sigmoid(x[..., 4:].astype(jnp.float32))
-            conf = y[..., 0:1] * y[..., 1:]
-            best = jnp.max(conf, axis=-1)
+            # slim class reduce on raw logits (see decode_parts): only the
+            # obj + best-cls logits ever see f32 sigmoid
+            best = (jax.nn.sigmoid(x[..., 4].astype(jnp.float32))
+                    * jax.nn.sigmoid(jnp.max(x[..., 5:], axis=-1)
+                                     .astype(jnp.float32)))
             if class_mask is not None:
-                bc = jnp.argmax(conf, axis=-1)
+                bc = jnp.argmax(x[..., 5:], axis=-1)
                 best = jnp.where(class_mask[bc], best, 0.0)
             outs.append(best.transpose(0, 3, 1, 2).reshape(b, na * ny * nx))
         return jnp.concatenate(outs, 1)
@@ -183,13 +191,14 @@ class Detect(Module):
             off += n_i
         shapes = [(x.shape[1], x.shape[2]) for x in raw]
         cv = jnp.asarray(self._candidate_constants(shapes))[idx]  # (B,K,5)
-        y = jax.nn.sigmoid(rows.astype(jnp.float32))
+        y = jax.nn.sigmoid(rows[..., 0:4].astype(jnp.float32))
         xy = (y[..., 0:2] * 2 - 0.5 + cv[..., 0:2]) * cv[..., 4:5]
         wh = (y[..., 2:4] * 2) ** 2 * cv[..., 2:4]
         half = wh * 0.5
         boxes = jnp.concatenate([xy - half, xy + half], axis=-1)
-        conf = y[..., 4:5] * y[..., 5:]
-        return boxes, jnp.argmax(conf, axis=-1).astype(jnp.float32)
+        # argmax over logits == argmax over obj*probs (monotone sigmoid,
+        # obj shared across classes)
+        return boxes, jnp.argmax(rows[..., 5:], axis=-1).astype(jnp.float32)
 
 
 def dfl_expectation(box_logits: jax.Array, reg_max: int = 16) -> jax.Array:
@@ -304,11 +313,12 @@ class TDetect(Module):
         b, a, _ = box_logits.shape
         dist = dfl_expectation(box_logits.reshape(b, a, 4, self.reg_max))
         boxes = dist2bbox(dist, anchor_points[None], xywh=False) * strides[None]
-        conf = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
         # best class first, then drop excluded detections whole (see
-        # Detect.decode_parts; ref general.py:683-693)
-        best = jnp.max(conf, axis=-1)
-        bc = jnp.argmax(conf, axis=-1)
+        # Detect.decode_parts; ref general.py:683-693).  Class reduce on
+        # raw logits (monotone sigmoid) — the (B, A, nc) f32 probability
+        # tensor never materialises; bit-identical outputs.
+        best = jax.nn.sigmoid(jnp.max(cls_logits, axis=-1).astype(jnp.float32))
+        bc = jnp.argmax(cls_logits, axis=-1)
         if class_mask is not None:
             best = jnp.where(class_mask[bc], best, 0.0)
         return boxes, best, bc.astype(jnp.float32)
@@ -321,11 +331,11 @@ class TDetect(Module):
         outs = []
         for x in raw:
             b = x.shape[0]
-            conf = jax.nn.sigmoid(
-                x[..., 4 * self.reg_max:].astype(jnp.float32))
-            best = jnp.max(conf, axis=-1)
+            # slim class reduce on raw logits (see decode_parts)
+            logits = x[..., 4 * self.reg_max:]
+            best = jax.nn.sigmoid(jnp.max(logits, axis=-1).astype(jnp.float32))
             if class_mask is not None:
-                bc = jnp.argmax(conf, axis=-1)
+                bc = jnp.argmax(logits, axis=-1)
                 best = jnp.where(class_mask[bc], best, 0.0)
             outs.append(best.reshape(b, -1))
         return jnp.concatenate(outs, 1)
@@ -364,5 +374,6 @@ class TDetect(Module):
         dist = dfl_expectation(
             rows[..., : 4 * self.reg_max].reshape(b, k, 4, self.reg_max))
         boxes = dist2bbox(dist, cv[..., 0:2], xywh=False) * cv[..., 2:3]
-        conf = jax.nn.sigmoid(rows[..., 4 * self.reg_max:].astype(jnp.float32))
-        return boxes, jnp.argmax(conf, axis=-1).astype(jnp.float32)
+        # argmax over logits == argmax over probs (monotone sigmoid)
+        return boxes, jnp.argmax(rows[..., 4 * self.reg_max:],
+                                 axis=-1).astype(jnp.float32)

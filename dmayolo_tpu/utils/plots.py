@@ -190,3 +190,43 @@ def feature_visualization(x, module_type: str, stage: int, n: int = 32,
     fig.savefig(f, dpi=150)
     plt.close(fig)
     return f
+
+
+def plot_evolve(evolve_csv, save_path=None):
+    """Scatter each evolved hyperparameter against fitness, marking the best.
+
+    Our evolve.csv schema is ["fitness", *hyp_keys] (train/evolve.py
+    log_generation); the reference's has 7 metric columns before the hyps
+    (ref: utils/plots.py:371-394, train.py:714-820).  Returns the png path.
+    """
+    import csv as _csv
+
+    evolve_csv = Path(evolve_csv)
+    with open(evolve_csv) as f:
+        rows = list(_csv.reader(f))
+    keys = [k.strip() for k in rows[0]]
+    data = np.asarray([[float(v) for v in r] for r in rows[1:]], np.float64)
+    fit = data[:, 0]
+    j = int(np.argmax(fit))
+    hyp_keys = keys[1:]
+    cols = 5
+    nrows = -(-len(hyp_keys) // cols)
+    fig, axs = plt.subplots(nrows, cols, figsize=(10, 2 * nrows),
+                            tight_layout=True)
+    axs = np.atleast_1d(axs).ravel()
+    for i, k in enumerate(hyp_keys):
+        v = data[:, 1 + i]
+        mu = v[j]
+        axs[i].scatter(v, fit, c=fit, cmap="viridis", alpha=0.8,
+                       edgecolors="none", s=12)
+        axs[i].plot(mu, fit.max(), "k+", markersize=12)
+        axs[i].set_title(f"{k} = {mu:.3g}", fontsize=8)
+        axs[i].tick_params(labelsize=6)
+        if i % cols != 0:
+            axs[i].set_yticks([])
+    for jx in range(len(hyp_keys), len(axs)):
+        axs[jx].axis("off")
+    f = Path(save_path) if save_path else evolve_csv.with_suffix(".png")
+    fig.savefig(f, dpi=200)
+    plt.close(fig)
+    return f

@@ -1,4 +1,4 @@
-"""Decompose the yolov5n bs128 serving pipeline: where do 14.8 ms go?
+"""Decompose a model's bs128 serving pipeline (default yolov5n): where do the ms go?
 
 yolov5n serves at 8,647 img/s = 14.8 ms/batch-128, which is 31% of its
 7.1 GF/img compute ceiling (27,700 img/s).  Two candidate explanations:
@@ -10,7 +10,7 @@ methodology), plus NMS internals on synthetic candidates.  Whatever
 dominates is the optimisation target; if nothing does, 31% is
 architectural and ROOFLINE gets the decomposition.
 
-    python experiments/exp_serve_decomp.py
+    python experiments/exp_serve_decomp.py [yolov5s]
 """
 from __future__ import annotations
 
@@ -89,8 +89,9 @@ def main():
     rng = np.random.default_rng(0)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    name = sys.argv[1] if len(sys.argv) > 1 else "yolov5n"
     model = DetectionModel(
-        os.path.join(repo, "dmayolo_tpu/configs/models/yolov5n.yaml"), nc=10)
+        os.path.join(repo, f"dmayolo_tpu/configs/models/{name}.yaml"), nc=10)
     params, stats = model.init_with_priors(jax.random.PRNGKey(0))
     fp, fs = fuse_params(model, params, stats)
 
@@ -113,7 +114,7 @@ def main():
         return nms_parts(boxes, scores, cls, conf_thres=0.25, iou_thres=0.45,
                          max_det=300, max_nms=512, backend="matrix")
 
-    print(f"yolov5n bs{BS} 640px bf16 fused, cumulative:", flush=True)
+    print(f"{name} bs{BS} 640px bf16 fused, cumulative:", flush=True)
     t_f = scan_time(fwd, (x, fp, fs), "fwd only")
     t_fd = scan_time(fwd_decode, (x, fp, fs), "fwd + decode")
     t_fdt = scan_time(fwd_decode_topk, (x, fp, fs), "fwd + decode + top-k")
