@@ -1,0 +1,34 @@
+"""REAL multi-process jax.distributed execution (round-3 verdict item 4).
+
+Launches tools/multiproc_dryrun.py: 2 OS processes, each with 4 virtual
+CPU devices, coordinated via jax.distributed on localhost — executing
+(not simulating) the per-process input striping, globalize_batch
+sharding, cross-process gradient all-reduce, sharded eval, and
+host-0-only checkpointing.  ~3-8 min on the 1-core CI host.
+"""
+import os
+import subprocess
+import sys
+
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_distributed_train(tmp_path):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, "-u",
+         os.path.join(REPO, "tools", "multiproc_dryrun.py"),
+         "--workdir", str(tmp_path), "--port", "47917"],
+        capture_output=True, text=True, timeout=1450, env=env, cwd=REPO)
+    out = r.stdout + r.stderr
+    assert r.returncode == 0, out[-4000:]
+    assert "multiproc_dryrun: world=2 OK" in out, out[-4000:]
+    # both ranks really stepped, and only rank 0 wrote the checkpoint
+    r0 = (tmp_path / "rank0.log").read_text()
+    r1 = (tmp_path / "rank1.log").read_text()
+    assert "sharded train steps" in r0 and "sharded train steps" in r1
+    assert "checkpoint written" in r0 and "checkpoint written" not in r1
+    assert (tmp_path / "last.npz").exists()
