@@ -200,6 +200,55 @@ def main():
     extra["yolov5x_bs32_ms_per_img"] = round(dt_x / 32 * 1000, 2)
     extra["yolov5x_ref_v100_ms_per_img"] = 4.9
 
+    # --- input pipeline (host): disk -> decode -> mosaic/affine/HSV ->
+    # dense uint8 batch. Config = the measured optimum from
+    # experiments/exp_loader_bench.py (fastload, 2 workers); the full
+    # worker/backend sweep lives there, the verdict in ROOFLINE §6. ---
+    def _loader(imgsz, n_img, bs, max_targets=80):
+        from dmayolo_tpu.cli.common import load_hyp
+        from dmayolo_tpu.data.datasets import DetectionDataset
+        from dmayolo_tpu.data.loader import DataLoader
+        from dmayolo_tpu.data.synthetic import generate
+
+        root = f"/tmp/loaderbench_{imgsz}"
+        if not os.path.exists(os.path.join(root, "images", "train")):
+            generate(root, n_train=n_img, n_val=2, img_size=imgsz)
+        ds = DetectionDataset(os.path.join(root, "images", "train"),
+                              img_size=imgsz, augment=True,
+                              hyp=load_hyp("scratch"), nc=3, batch_size=bs,
+                              fastload=True)
+        return DataLoader(ds, batch_size=bs, workers=2,
+                          max_targets=max_targets, shuffle=True, seed=0)
+
+    def _host_rate(dl, min_seconds=6.0):
+        for _ in dl:  # warm: label cache, file pages
+            pass
+        t0 = time.perf_counter()
+        total = 0
+        while time.perf_counter() - t0 < min_seconds:
+            for b in dl:
+                total += b.images.shape[0]
+        return total / (time.perf_counter() - t0)
+
+    try:
+        extra["loader_640_img_s"] = round(_host_rate(_loader(640, 96, 16)), 1)
+        extra["loader_1536_img_s"] = round(_host_rate(_loader(1536, 24, 8)), 1)
+    except Exception as e:
+        extra.setdefault("loader_640_img_s", f"error: {type(e).__name__}")
+
+    # h2d context for the e2e row: the axon tunnel moves uint8 batches at
+    # ~30 MB/s (a real TPU-VM host does GB/s over PCIe) — e2e train below
+    # is transfer-bound HERE, loader-bound (per the rows above) on any
+    # multi-core host, and device-bound only past ~4 cores.
+    try:
+        buf = np.zeros((32, 640, 640, 3), np.uint8)
+        jax.block_until_ready(jnp.asarray(buf))
+        t0 = time.perf_counter()
+        jax.block_until_ready(jnp.asarray(buf))
+        extra["h2d_MBps"] = round(buf.nbytes / 1e6 / (time.perf_counter() - t0), 1)
+    except Exception:
+        pass
+
     # --- flagship train-step throughput (fwd+loss+grad+opt+EMA) ---
     try:
         from dmayolo_tpu.train.loss import ComputeLoss, Targets
@@ -233,6 +282,30 @@ def main():
             state, met = step(state, x_t, tgt, key)
         jax.block_until_ready(met["loss"])
         extra["flagship_train_bs32_img_s"] = round(bs_t * iters / (time.perf_counter() - t0), 1)
+
+        # e2e: the REAL loader feeding this same train step (prefetch
+        # threads overlap host decode with device compute; uint8 h2d).
+        # On this 1-core/tunnel VM the row reads min(loader, h2d) — see
+        # h2d_MBps above and ROOFLINE §6 for the multi-core projection.
+        try:
+            # max_targets=8 matches the synthetic-fed row's target shape,
+            # so the already-compiled step program is reused as-is
+            dl_e2e = _loader(640, 96, bs_t, max_targets=8)
+            for b in dl_e2e:
+                xb = jnp.asarray(b.images).astype(jnp.float32) / 255.0
+                state, met = step(state, xb, b.targets, key)
+            jax.block_until_ready(met["loss"])
+            t0 = time.perf_counter()
+            total = 0
+            while time.perf_counter() - t0 < 10.0:
+                for b in dl_e2e:
+                    xb = jnp.asarray(b.images).astype(jnp.float32) / 255.0
+                    state, met = step(state, xb, b.targets, key)
+                    total += b.images.shape[0]
+            jax.block_until_ready(met["loss"])
+            extra["e2e_train_img_s"] = round(total / (time.perf_counter() - t0), 1)
+        except Exception as e:
+            extra["e2e_train_img_s"] = f"error: {type(e).__name__}"
 
         # the fork's headline workload: VisDrone recipe (train.sh:1) at
         # 1536px, adam. bs8+remat is the measured optimum on one v5e

@@ -32,8 +32,12 @@ class Batch:
         self.indices = indices  # dataset indices of each row
 
 
+_truncation_warned = False
+
+
 def collate(samples, max_targets: int, indices=None) -> Batch:
     """Stack (img, labels) pairs into dense arrays."""
+    global _truncation_warned
     imgs = np.stack([s[0] for s in samples])
     b = len(samples)
     cls = np.zeros((b, max_targets), np.float32)
@@ -41,6 +45,18 @@ def collate(samples, max_targets: int, indices=None) -> Batch:
     mask = np.zeros((b, max_targets), bool)
     for i, (_, lb) in enumerate(samples):
         n = min(len(lb), max_targets)
+        if len(lb) > max_targets and not _truncation_warned:
+            # the reference's variable-length collate keeps every label
+            # (utils/datasets.py:627-631); our dense layout must be told
+            # the budget. Dropping labels silently would diverge training
+            # on crowded data (e.g. the VisDrone-analog: 40-110 objects
+            # per image, 4x that after mosaic).
+            _truncation_warned = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "collate: %d labels exceed max_targets=%d — excess dropped"
+                " (raise --max-targets to keep them)", len(lb), max_targets)
         if n:
             cls[i, :n] = lb[:n, 0]
             box[i, :n] = lb[:n, 1:5]

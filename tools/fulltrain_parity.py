@@ -36,16 +36,46 @@ YAML = f"{DATA}/shapes.yaml"
 EPOCHS = 100  # the recorded docs/PARITY.md run: 100 epochs both sides
 IMG = 256
 BS = 16
+NOVAL = False
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def set_profile(name):
+    """Switch the run constants between the two recorded benchmarks:
+
+    shapes (default) — the saturated 48-image smoke set (PARITY links
+    5/5b/5c); vda — the discriminating VisDrone-analog (link 7): 192
+    train / 512 val at 512 px, 40-110 tiny objects per image, 40 epochs
+    (sized so the torch reference finishes on this 1-core host).
+    """
+    global ROOT, DATA, YAML, EPOCHS, IMG, NOVAL
+    if name == "vda":
+        ROOT = "/tmp/vda_parity"
+        DATA = "/tmp/vda"
+        YAML = f"{DATA}/visdrone_analog.yaml"
+        EPOCHS = 40
+        IMG = 512
+        # the torch reference needs ~13 s/batch-16 at 512 px on this
+        # 1-core host; epoch-val on 512 images would dominate, so the ref
+        # runs use its own --noval flag (final-epoch val only,
+        # ref train.py:441,516) and link 7 compares final checkpoints
+        # cross-evaluated under one protocol (our val CLI, f32)
+        NOVAL = True
+
+
 def gen(n_train=192, n_val=48, img_size=320):
     sys.path.insert(0, REPO)
-    from dmayolo_tpu.data.synthetic import generate
+    if DATA == "/tmp/vda":
+        from dmayolo_tpu.data.synthetic import generate_visdrone_analog
 
-    path = generate(DATA, n_train=n_train, n_val=n_val, img_size=img_size,
-                    seed=7)
+        path = generate_visdrone_analog(DATA, n_train=192, n_val=512,
+                                        img_size=512, seed=11)
+    else:
+        from dmayolo_tpu.data.synthetic import generate
+
+        path = generate(DATA, n_train=n_train, n_val=n_val,
+                        img_size=img_size, seed=7)
     print("dataset:", path)
 
 
@@ -188,6 +218,8 @@ def ref(epochs=EPOCHS, resume=False, tal=False, flagship=False):
             # anchor-free TDetect head + TaskAlignedAssigner loss
             # (reference train.py:360-363, train.sh:3)
             sys.argv += ["--assignment", "tal", "--noautoanchor"]
+        if NOVAL:
+            sys.argv += ["--noval"]
     opt = ref_train.parse_opt()
     ref_train.main(opt)
 
@@ -215,6 +247,10 @@ def tpu(epochs=EPOCHS, device=None, resume=False, tal=False, flagship=False):
         ]
         if tal:
             cmd += ["--assignment", "tal", "--noautoanchor"]
+        if NOVAL:
+            # crowded vda mosaics carry up to ~450 labels; 512 keeps every
+            # one (the torch reference's variable-length collate never drops)
+            cmd += ["--max-targets", "512"]
         if device:
             cmd += ["--device", device]
     subprocess.run(cmd, check=True)
@@ -251,12 +287,23 @@ def report(tal=False, flagship=False):
     # val protocol itself must reproduce the reference's number on its
     # weights (TAL: last.pt — the reference cannot select best itself)
     ckpt = f"{ROOT}/ref_runs{sfx}/exp/weights/" + ("last.pt" if tal else "best.pt")
+    out["cross_val_line"] = _cross_val(ckpt, f"{ROOT}/cross_val{sfx}")
+    if NOVAL:
+        # link-7 protocol: BOTH finals under our val CLI (one protocol),
+        # since the ref trained with --noval (single final-epoch val)
+        out["tpu_cross_val_line"] = _cross_val(
+            f"{ROOT}/tpu_runs{sfx}/exp/last.npz", f"{ROOT}/cross_val{sfx}_tpu")
+    print(json.dumps(out, indent=2))
+    return out
+
+
+def _cross_val(ckpt, project, device="cpu"):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "val.py"),
          "--weights", ckpt,
          "--data", YAML, "--img", str(IMG), "--batch-size", str(BS),
-         "--device", "cpu", "--fp32",
-         "--project", f"{ROOT}/cross_val{sfx}", "--name", "exp", "--exist-ok"],
+         "--device", device, "--fp32",
+         "--project", project, "--name", "exp", "--exist-ok"],
         capture_output=True, text=True)
     print(r.stdout[-2000:], file=sys.stderr)
     if r.returncode != 0:
@@ -264,13 +311,14 @@ def report(tal=False, flagship=False):
         raise SystemExit(f"cross-eval val.py failed (rc={r.returncode})")
     for line in r.stdout.splitlines():
         if "mAP@.5=" in line:
-            out["cross_val_line"] = line.strip()
-    print(json.dumps(out, indent=2))
-    return out
+            return line.strip()
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    if "vda" in args:
+        set_profile("vda")
+        args = [a for a in args if a != "vda"]
     phase = args[0] if args else "gen"
     kw = {}
     if "tal" in args[1:] and phase in ("ref", "tpu", "report"):
