@@ -137,8 +137,15 @@ def _fixpoint_keep(iou, valid, iou_thres: float):
 
     def body(state):
         lo, hi, i = state
-        # T is antitone: T(hi) refines lo upward, T(lo) refines hi downward
-        return T(hi), T(lo), i + 1
+        # T is antitone: T(hi) refines lo upward, T(lo) refines hi downward.
+        # Both brackets advance in ONE stacked matvec so S (the dominant
+        # HBM term at (B,K,K)) is read once per iteration, not twice;
+        # accumulation order per column matches the single-vector form.
+        kv = jnp.stack([hi, lo], -1).astype(jnp.bfloat16)
+        sup = jnp.einsum("bij,bik->bjk", S, kv,
+                         preferred_element_type=jnp.float32)
+        return ((sup[..., 0] < 0.5) & valid, (sup[..., 1] < 0.5) & valid,
+                i + 1)
 
     lo0 = T(valid)        # after one step from all-true (lower bracket)
     hi0 = T(lo0)          # upper bracket
@@ -187,7 +194,12 @@ def _fixpoint_keep_boxes(boxes, valid, iou_thres: float):
 
     def body(state):
         lo, hi, i = state
-        return T(hi), T(lo), i + 1
+        # stacked-bracket step: one S read advances both brackets
+        kv = jnp.stack([hi, lo], -1).astype(jnp.bfloat16)
+        sup = jnp.einsum("bij,bik->bjk", S, kv,
+                         preferred_element_type=jnp.float32)
+        return ((sup[..., 0] < 0.5) & valid, (sup[..., 1] < 0.5) & valid,
+                i + 1)
 
     lo0 = T(valid)
     hi0 = T(lo0)
