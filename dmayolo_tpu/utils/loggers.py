@@ -33,13 +33,23 @@ class Loggers:
                 self.tb = None
 
     def log_metrics(self, metrics: Dict[str, float], step: int):
-        exists = self.csv_path.exists()
         row = {"epoch": step, **metrics}
-        with open(self.csv_path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(row.keys()))
-            if not exists:
-                w.writeheader()
-            w.writerow(row)
+        # Schema can widen mid-run (e.g. val_interval>1: the first epochs
+        # log train keys only, val epochs add metrics/*) — keep one
+        # consistent header by rewriting with the union of columns.
+        fields = list(row.keys())
+        rows = []
+        if self.csv_path.exists():
+            with open(self.csv_path, newline="") as f:
+                r = csv.DictReader(f)
+                old = [k for k in (r.fieldnames or [])]
+                rows = list(r)
+            fields = old + [k for k in row if k not in old]
+        rows.append(row)
+        with open(self.csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields, restval="")
+            w.writeheader()
+            w.writerows(rows)
         if self.tb:
             for k, v in metrics.items():
                 try:

@@ -254,3 +254,25 @@ def test_checkpoint_anchor_roundtrip(tmp_path):
     stripped = strip_checkpoint(str(ck), str(tmp_path / "best.npz"))
     m3, _, _ = load_model_from_checkpoint(str(stripped))
     assert np.allclose(np.asarray(m3.head.anchors), evolved)
+
+
+def test_loggers_csv_schema_widens_mid_run(tmp_path):
+    """val_interval>1 logs train-only rows before the first val row adds
+    metrics/* columns — the csv must keep ONE consistent header (this
+    produced 6-col headers over 11-col rows before the union-rewrite fix)."""
+    import csv
+
+    from dmayolo_tpu.utils.loggers import Loggers
+
+    lg = Loggers(tmp_path, use_tb=False)
+    lg.log_metrics({"train/loss": 1.0}, 0)
+    lg.log_metrics({"train/loss": 0.9, "metrics/mAP_0.5": 0.5}, 1)
+    lg.log_metrics({"train/loss": 0.8}, 2)
+    with open(tmp_path / "results.csv", newline="") as f:
+        rows = list(csv.reader(f))
+    header = rows[0]
+    assert header == ["epoch", "train/loss", "metrics/mAP_0.5"]
+    assert all(len(r) == len(header) for r in rows), rows
+    with open(tmp_path / "results.csv", newline="") as f:
+        d = list(csv.DictReader(f))
+    assert d[1]["metrics/mAP_0.5"] == "0.5" and d[2]["metrics/mAP_0.5"] == ""

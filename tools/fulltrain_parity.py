@@ -37,6 +37,7 @@ EPOCHS = 100  # the recorded docs/PARITY.md run: 100 epochs both sides
 IMG = 256
 BS = 16
 NOVAL = False
+VDA_OBJ_SCALE = 1.0  # updated by the tools/vda_calibrate.py result
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -69,8 +70,13 @@ def gen(n_train=192, n_val=48, img_size=320):
     if DATA == "/tmp/vda":
         from dmayolo_tpu.data.synthetic import generate_visdrone_analog
 
+        # obj_scale calibrated by tools/vda_calibrate.py so the flagship
+        # lands mid-range (0.3-0.6 mAP@.5) instead of pinning at 0 (at
+        # 1.0, 60% of boxes are < 8 px — below the sensor floor at 512 px)
+        scale = float(os.environ.get("VDA_OBJ_SCALE", VDA_OBJ_SCALE))
         path = generate_visdrone_analog(DATA, n_train=192, n_val=512,
-                                        img_size=512, seed=11)
+                                        img_size=512, seed=11,
+                                        obj_scale=scale)
     else:
         from dmayolo_tpu.data.synthetic import generate
 
@@ -273,13 +279,16 @@ def _csv_rows(path):
 def report(tal=False, flagship=False):
     sfx = "_tal" if tal else "_flagship" if flagship else ""
     out = {}
+    key = "metrics/mAP_0.5"
     if not tal:  # TAL: the reference trains blind (see ref()), no mAP CSV
         ref_rows = _csv_rows(f"{ROOT}/ref_runs{sfx}/exp/results.csv")
-        ref_map50 = [float(r["metrics/mAP_0.5"]) for r in ref_rows]
+        ref_map50 = [float(r[key]) for r in ref_rows
+                     if r.get(key) not in (None, "")]
         out["ref_final_map50"] = ref_map50[-1]
         out["ref_best_map50"] = max(ref_map50)
     tpu_rows = _csv_rows(f"{ROOT}/tpu_runs{sfx}/exp/results.csv")
-    tpu_map50 = [float(r["metrics/mAP_0.5"]) for r in tpu_rows]
+    tpu_map50 = [float(r[key]) for r in tpu_rows
+                 if r.get(key) not in (None, "")]
     out["tpu_final_map50"] = tpu_map50[-1]
     out["tpu_best_map50"] = max(tpu_map50)
 
