@@ -51,6 +51,25 @@ def _read_meta(weights: Path, backend: str) -> dict:
         return yaml.safe_load(f)
 
 
+def decode_raw_np(raws, meta):
+    """Anchor-based decode of raw head tensors, numpy mirror of
+    nn/heads.py Detect.decode (ref yolo.py:83-103): same math, same
+    reference candidate order (scale-major, then (a, y, x))."""
+    z = []
+    for x, stride, anc in zip(raws, meta["strides"], meta["anchors_px"]):
+        b, ny, nx, na, no = x.shape
+        y = 1.0 / (1.0 + np.exp(-x.astype(np.float32)))
+        gx, gy = np.meshgrid(np.arange(nx, dtype=np.float32),
+                             np.arange(ny, dtype=np.float32), indexing="xy")
+        grid = np.stack([gx, gy], axis=-1)  # (ny, nx, 2)
+        anc = np.asarray(anc, np.float32)  # (na, 2) in px
+        xy = (y[..., 0:2] * 2 - 0.5 + grid[None, :, :, None, :]) * stride
+        wh = (y[..., 2:4] * 2) ** 2 * anc[None, None, None, :, :]
+        dec = np.concatenate([xy, wh, y[..., 4:]], axis=-1)
+        z.append(dec.transpose(0, 3, 1, 2, 4).reshape(b, na * ny * nx, no))
+    return np.concatenate(z, axis=1)
+
+
 def load_backend(weights: str, backend: str):
     """Returns (fn, meta): fn maps uint8 (B,H,W,3) with B == meta['batch_size']
     to decoded predictions as a numpy array."""
@@ -88,12 +107,42 @@ def load_backend(weights: str, backend: str):
         interp = tf.lite.Interpreter(model_path=str(w))
         interp.allocate_tensors()
         inp = interp.get_input_details()[0]
-        out = interp.get_output_details()[0]
+        outs = interp.get_output_details()
 
-        def fn(x):
-            interp.set_tensor(inp["index"], np.asarray(x))
-            interp.invoke()
-            return interp.get_tensor(out["index"])
+        if meta.get("raw_heads"):
+            # int8 artifact: the quantized graph ends at the raw per-scale
+            # head tensors; decode runs here in float from the sidecar
+            # constants (see export._export_tflite_int8). Scale order =
+            # tuple position, carried in the ":k" output-name suffix
+            # (shapes alone can tie: two heads may share a stride).
+            try:
+                ordered = sorted(outs,
+                                 key=lambda o: int(o["name"].split(":")[-1]))
+            except ValueError:
+                shapes = [tuple(s) for s in meta["shapes"]]
+                by_shape = {}
+                for o in outs:
+                    by_shape[tuple(int(v) for v in o["shape"][1:3])] = o
+                assert len(by_shape) == len(outs), \
+                    "ambiguous raw-head output shapes and unindexed names"
+                ordered = [by_shape[s] for s in shapes]
+            expect = [tuple(s) for s in meta["shapes"]]
+            got = [tuple(int(v) for v in o["shape"][1:3]) for o in ordered]
+            assert got == expect, (got, expect)
+
+            def fn(x):
+                interp.set_tensor(inp["index"], np.asarray(x))
+                interp.invoke()
+                return decode_raw_np(
+                    [interp.get_tensor(o["index"]) for o in ordered], meta)
+
+        else:
+            out = outs[0]
+
+            def fn(x):
+                interp.set_tensor(inp["index"], np.asarray(x))
+                interp.invoke()
+                return interp.get_tensor(out["index"])
 
     else:
         raise ValueError(f"not an exported-artifact backend: {backend}")

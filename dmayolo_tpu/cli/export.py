@@ -32,6 +32,14 @@ def build_parser():
                             "tflite"])
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--device", type=str, default=None, help="cpu|tpu (default: auto)")
+    p.add_argument("--int8", action="store_true",
+                   help="also write a full-integer-quantized -int8.tflite "
+                        "(ref export.py:197-205); needs --data for real "
+                        "calibration images")
+    p.add_argument("--data", type=str, default=None,
+                   help="dataset yaml providing int8 calibration images")
+    p.add_argument("--ncalib", type=int, default=100,
+                   help="calibration images for --int8 (ref ncalib)")
     return p
 
 
@@ -53,6 +61,100 @@ def export_torch_state_dict(model, params, stats, path: Path):
             sd[tkey] = torch.tensor(arr)
     torch.save(sd, path)
     return path
+
+
+def _calibration_batches(opt):
+    """Representative uint8 batches for int8 calibration: letterboxed val
+    images from --data (ref export.py:197-201 calibrates from a val
+    dataloader); random noise (with a warning) only as a last resort."""
+    batches = []
+    if opt.data:
+        import cv2
+
+        from ..data.augment import letterbox
+        from ..data.datasets import _scan_images, check_dataset
+
+        files = _scan_images(check_dataset(opt.data)["val"])[: opt.ncalib]
+        imgs = []
+        for f in files:
+            im = cv2.imread(str(f))
+            if im is None:
+                continue
+            im = letterbox(im, opt.imgsz, auto=False)[0][..., ::-1]  # BGR->RGB
+            imgs.append(im.astype(np.uint8))
+            if len(imgs) == opt.batch_size:
+                batches.append(np.stack(imgs))
+                imgs = []
+    if not batches:
+        print("WARNING: --int8 without --data calibrates on random noise — "
+              "activation ranges will be wrong; pass --data for real images")
+        rng = np.random.default_rng(0)
+        batches = [rng.integers(0, 255, (opt.batch_size, opt.imgsz,
+                                         opt.imgsz, 3), np.uint8)
+                   for _ in range(8)]
+
+    def rep():
+        for b in batches:
+            yield [b]
+
+    return rep
+
+
+def _export_tflite_int8(model, fp, fs, opt, base, tf, jax2tf, write_meta):
+    """Full-integer TFLite (ref export.py:197-205 --int8), redesigned:
+    only the conv network is quantized.  The reference quantizes its whole
+    Keras graph including the decode, where grid-add / (2sig)^2 terms and
+    the heterogeneous-range output concat share per-tensor scales (the
+    objectness column inherits a ~2.0 quant step from the 0-640px box
+    range).  Here the int8 graph ends at the RAW per-scale head tensors
+    (homogeneous logit ranges), and decode runs in float at load time
+    (backends.decode_raw_np) from constants in the metadata sidecar."""
+    import jax.numpy as jnp
+    import yaml
+
+    head = type(model.head).__name__
+    if head != "Detect":
+        print(f"--int8 supports anchor-based Detect heads (got {head}) — "
+              "skipping the int8 artifact")
+        return None
+
+    def fn_raw(x):
+        return tuple(model.apply(fp, fs, x.astype(jnp.float32) / 255.0,
+                                 dtype=jnp.float32, fused=True))
+
+    # legacy graph lowering: real TF ops legalize to quantizable TFLite
+    # builtins (native serialization is one opaque XlaCallModule the
+    # quantizer cannot enter)
+    conv_fn = jax2tf.convert(fn_raw, with_gradient=False,
+                             native_serialization=False)
+    mod = tf.Module()
+    mod.f = tf.function(conv_fn, autograph=False,
+                        input_signature=[tf.TensorSpec(
+                            (opt.batch_size, opt.imgsz, opt.imgsz, 3),
+                            tf.uint8)])
+    conv = tf.lite.TFLiteConverter.from_concrete_functions(
+        [mod.f.get_concrete_function()], mod)
+    conv.optimizations = [tf.lite.Optimize.DEFAULT]
+    conv.representative_dataset = _calibration_batches(opt)
+    conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+    conv.inference_input_type = tf.uint8  # outputs dequantize to f32
+    out = base.parent / (base.name + "-int8.tflite")
+    out.write_bytes(conv.convert())
+    write_meta(out)
+
+    strides = [int(s) for s in np.asarray(model.stride)]
+    anchors_px = (np.asarray(model.head.anchors, np.float32)
+                  * np.asarray(strides, np.float32).reshape(-1, 1, 1))
+    meta_path = out.parent / (out.name + ".meta.yaml")
+    m = yaml.safe_load(meta_path.read_text())
+    m.update(
+        raw_heads=True,
+        strides=strides,
+        anchors_px=anchors_px.tolist(),
+        shapes=[[opt.imgsz // s, opt.imgsz // s] for s in strides],
+    )
+    meta_path.write_text(yaml.safe_dump(m, sort_keys=False))
+    return out
 
 
 def main(argv=None):
@@ -144,7 +246,7 @@ def main(argv=None):
 
     want_sm = {"tf", "saved_model"} & set(opt.include)
     want_tfl = "tflite" in opt.include
-    if want_sm or want_tfl:
+    if want_sm or want_tfl or opt.int8:
         try:
             import tensorflow as tf
         except ImportError:
@@ -190,6 +292,11 @@ def main(argv=None):
                 out.write_bytes(conv.convert())
                 _write_meta(out)
                 outputs.append(out)
+            if opt.int8:
+                out = _export_tflite_int8(model, fp, fs, opt, base, tf,
+                                          jax2tf, _write_meta)
+                if out is not None:
+                    outputs.append(out)
 
     for o in outputs:
         print(f"exported: {o}")
