@@ -37,7 +37,7 @@ EPOCHS = 100  # the recorded docs/PARITY.md run: 100 epochs both sides
 IMG = 256
 BS = 16
 NOVAL = False
-VDA_OBJ_SCALE = 1.0  # updated by the tools/vda_calibrate.py result
+VDA_OBJ_SCALE = 5.0  # tools/vda_calibrate.py: 1.0 -> mAP@.5 0.005, 2.5 -> 0.031 (size^~2 elasticity; 5.0 targets the non-saturated 0.1-0.3 band)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -50,13 +50,22 @@ def set_profile(name):
     train / 512 val at 512 px, 40-110 tiny objects per image, 40 epochs
     (sized so the torch reference finishes on this 1-core host).
     """
-    global ROOT, DATA, YAML, EPOCHS, IMG, NOVAL
+    global ROOT, DATA, YAML, EPOCHS, IMG, NOVAL, BS
     if name == "vda":
         ROOT = "/tmp/vda_parity"
         DATA = "/tmp/vda"
         YAML = f"{DATA}/visdrone_analog.yaml"
         EPOCHS = 40
         IMG = 512
+        # batch 8, like the fork's own small-batch VisDrone recipes
+        # (train.sh:1 uses 4): warmup interpolates over BATCH counters
+        # with the shared 1000-iter floor (ref train.py:345), so at 12
+        # batches/epoch a bs16 run finishes 40 epochs only 48% through
+        # the LR ramp; bs8 doubles the counter. Measured (vda_calibrate,
+        # obj_scale 2.5): bs16 0.031 mAP@.5, bs8 0.056 — same semantics
+        # in BOTH frameworks, so parity is unaffected, the benchmark is
+        # just ~2x more discriminating.
+        BS = 8
         # the torch reference needs ~13 s/batch-16 at 512 px on this
         # 1-core host; epoch-val on 512 images would dominate, so the ref
         # runs use its own --noval flag (final-epoch val only,
