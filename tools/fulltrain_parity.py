@@ -37,7 +37,7 @@ EPOCHS = 100  # the recorded docs/PARITY.md run: 100 epochs both sides
 IMG = 256
 BS = 16
 NOVAL = False
-VDA_OBJ_SCALE = 5.0  # tools/vda_calibrate.py: 1.0 -> mAP@.5 0.005, 2.5 -> 0.031 (size^~2 elasticity; 5.0 targets the non-saturated 0.1-0.3 band)
+VDA_OBJ_SCALE = 3.5  # tools/vda_calibrate.py sweep (bs8, full recipe): 1.0 -> 0.005 mAP@.5, 2.5 -> 0.056, 3.5 -> 0.090, 5.0 -> tracks BELOW 3.5 (cluster geometry doesn't scale, so bigger objects drown in overlap-occlusion) — 3.5 is the measured top of the difficulty frontier
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
