@@ -230,11 +230,12 @@ def main():
                 total += b.images.shape[0]
         return total / (time.perf_counter() - t0)
 
-    try:
-        extra["loader_640_img_s"] = round(_host_rate(_loader(640, 96, 16)), 1)
-        extra["loader_1536_img_s"] = round(_host_rate(_loader(1536, 24, 8)), 1)
-    except Exception as e:
-        extra.setdefault("loader_640_img_s", f"error: {type(e).__name__}")
+    for key, args in (("loader_640_img_s", (640, 96, 16)),
+                      ("loader_1536_img_s", (1536, 24, 8))):
+        try:
+            extra[key] = round(_host_rate(_loader(*args)), 1)
+        except Exception as e:
+            extra[key] = f"error: {type(e).__name__}: {e}"
 
     # h2d context for the e2e row: the axon tunnel moves uint8 batches at
     # ~30 MB/s (a real TPU-VM host does GB/s over PCIe) — e2e train below

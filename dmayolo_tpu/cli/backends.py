@@ -123,12 +123,17 @@ def load_backend(weights: str, backend: str):
                 by_shape = {}
                 for o in outs:
                     by_shape[tuple(int(v) for v in o["shape"][1:3])] = o
-                assert len(by_shape) == len(outs), \
-                    "ambiguous raw-head output shapes and unindexed names"
+                if len(by_shape) != len(outs):
+                    raise ValueError(
+                        "int8 raw-head outputs have ambiguous shapes and "
+                        "unindexed names — cannot order heads safely")
                 ordered = [by_shape[s] for s in shapes]
             expect = [tuple(s) for s in meta["shapes"]]
             got = [tuple(int(v) for v in o["shape"][1:3]) for o in ordered]
-            assert got == expect, (got, expect)
+            if got != expect:  # load-time integrity, must survive python -O
+                raise ValueError(
+                    f"int8 raw-head output order mismatch: got {got}, "
+                    f"metadata expects {expect}")
 
             def fn(x):
                 interp.set_tensor(inp["index"], np.asarray(x))

@@ -85,6 +85,14 @@ def _calibration_batches(opt):
             if len(imgs) == opt.batch_size:
                 batches.append(np.stack(imgs))
                 imgs = []
+        if imgs:  # flush the trailing partial batch, padded by repetition
+            while len(imgs) < opt.batch_size:
+                imgs.append(imgs[-1])
+            batches.append(np.stack(imgs))
+        if not batches:
+            raise SystemExit(
+                f"--int8 calibration: no readable images found under the "
+                f"val split of {opt.data} — refusing to calibrate on noise")
     if not batches:
         print("WARNING: --int8 without --data calibrates on random noise — "
               "activation ranges will be wrong; pass --data for real images")

@@ -7,6 +7,7 @@ loggers/__init__.py:32).
 from __future__ import annotations
 
 import csv
+import os
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -38,18 +39,29 @@ class Loggers:
         # log train keys only, val epochs add metrics/*) — keep one
         # consistent header by rewriting with the union of columns.
         fields = list(row.keys())
-        rows = []
+        old = None
         if self.csv_path.exists():
             with open(self.csv_path, newline="") as f:
-                r = csv.DictReader(f)
-                old = [k for k in (r.fieldnames or [])]
-                rows = list(r)
+                old = list(csv.DictReader(f).fieldnames or [])
             fields = old + [k for k in row if k not in old]
-        rows.append(row)
-        with open(self.csv_path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=fields, restval="")
-            w.writeheader()
-            w.writerows(rows)
+        if old is not None and fields == old:
+            # header unchanged: plain append (crash-safe, no rewrite)
+            with open(self.csv_path, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=fields, restval="").writerow(row)
+        else:
+            # header widens: rewrite atomically (temp file + os.replace) so
+            # a crash mid-write cannot destroy the training history
+            rows = []
+            if old is not None:
+                with open(self.csv_path, newline="") as f:
+                    rows = list(csv.DictReader(f))
+            rows.append(row)
+            tmp = self.csv_path.with_suffix(".csv.tmp")
+            with open(tmp, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=fields, restval="")
+                w.writeheader()
+                w.writerows(rows)
+            os.replace(tmp, self.csv_path)
         if self.tb:
             for k, v in metrics.items():
                 try:
