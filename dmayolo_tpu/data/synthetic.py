@@ -242,7 +242,8 @@ def _noise_plane(r, img_size, lo, hi):
 
 def generate_visdrone_analog(root, n_train=256, n_val=512, img_size=512,
                              seed=0, min_objects=40, max_objects=110,
-                             obj_scale=1.0, occlusion=1.0):
+                             obj_scale=1.0, occlusion=1.0,
+                             cluster_scale=1.0):
     """VisDrone-DET analog for offline convergence benchmarking.
 
     The reference fork exists for VisDrone/UAVDT (ref data/VisDrone.yaml:1,
@@ -266,6 +267,13 @@ def generate_visdrone_analog(root, n_train=256, n_val=512, img_size=512,
 
     Calibrated (docs/PARITY.md link 7) so trained mAP@.5 lands mid-range
     rather than saturating — divergence between frameworks is visible.
+
+    cluster_scale widens the cluster geometry (road width, crowd sigma)
+    with the objects: at cluster_scale=1.0 the spacing is fixed, so
+    obj_scale>3.5 pays its extra pixels back as overlap-occlusion (the
+    round-4 calibration's non-monotonicity); cluster_scale=obj_scale/3.5
+    holds the overlap statistics roughly constant, giving a second,
+    easier difficulty point with the same crowding signature.
     """
     root = Path(root)
     rng = np.random.default_rng(seed)
@@ -276,7 +284,7 @@ def generate_visdrone_analog(root, n_train=256, n_val=512, img_size=512,
             r = _SceneRNG(np.random.default_rng(rng.integers(1 << 62)))
             img = np.empty((img_size, img_size, 3), np.uint8)
             roads = [(r.u(0, img_size), r.u(0, img_size),
-                      r.u(0, np.pi), r.u(18, 40))
+                      r.u(0, np.pi), r.u(18, 40) * cluster_scale)
                      for _ in range(r.i(2, 4))]
             _background(img, r, img_size, roads)
 
@@ -300,8 +308,8 @@ def generate_visdrone_analog(root, n_train=256, n_val=512, img_size=512,
                     a = ang + r.u(-0.1, 0.1) + (np.pi if r.u(0, 1) < 0.5 else 0)
                 elif not vehicle and r.u(0, 1) < 0.6:
                     ccx, ccy = crowd_centres[r.i(0, len(crowd_centres))]
-                    cx = ccx + r.rng.normal(0, 11)
-                    cy = ccy + r.rng.normal(0, 11)
+                    cx = ccx + r.rng.normal(0, 11 * cluster_scale)
+                    cy = ccy + r.rng.normal(0, 11 * cluster_scale)
                     a = r.u(0, 2 * np.pi)
                 else:
                     cx, cy = r.u(0, img_size), r.u(0, img_size)

@@ -81,3 +81,63 @@ def test_trains_through_dataset_stack(vda):
     b = next(iter(dl))
     assert b.images.shape == (2, 384, 384, 3) and b.images.dtype == np.uint8
     assert b.targets.mask.any(), "augmented batch still carries labels"
+
+
+def test_cluster_scale_reduces_overlap(tmp_path):
+    """cluster_scale widens the cluster geometry so big objects stop
+    drowning in overlap (link 7b: the round-4 calibration saw obj_scale
+    5.0 track BELOW 3.5 with fixed geometry)."""
+    def overlap_frac(root):
+        from dmayolo_tpu.eval.metrics import box_iou_np
+
+        fracs = []
+        for r in _labels(root, "val"):
+            if len(r) < 2:
+                continue
+            cx, cy, w, h = r[:, 1], r[:, 2], r[:, 3], r[:, 4]
+            xyxy = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+            iou = box_iou_np(xyxy, xyxy)
+            np.fill_diagonal(iou, 0)
+            fracs.append((iou.max(1) > 0.25).mean())
+        return float(np.mean(fracs))
+
+    tight = tmp_path / "tight"
+    wide = tmp_path / "wide"
+    # official profile vs the vda2 zoom model (obj x1.43, clusters x1.43,
+    # count /1.43^2 — lower-altitude operating point, ground density const)
+    generate_visdrone_analog(tight, n_train=0, n_val=6, img_size=512,
+                             seed=5, obj_scale=3.5)
+    generate_visdrone_analog(wide, n_train=0, n_val=6, img_size=512,
+                             seed=5, obj_scale=5.0, cluster_scale=1.43,
+                             min_objects=20, max_objects=54)
+    assert overlap_frac(wide) < overlap_frac(tight) * 0.8
+
+
+def test_eval_txt_scores_saved_predictions(tmp_path):
+    """tools/eval_txt.py closes the WBF publishing loop (ref train.sh:4 +
+    wbf.py): perfect txts score mAP@.5 = 1, corrupted ones score less."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "tools"))
+    import eval_txt
+
+    root = tmp_path / "d"
+    generate_visdrone_analog(root, n_train=0, n_val=4, img_size=256, seed=3)
+    perfect = tmp_path / "pred"
+    perfect.mkdir()
+    rng = np.random.default_rng(0)
+    for f in (root / "labels" / "val").glob("*.txt"):
+        rows = np.loadtxt(f, ndmin=2)
+        with open(perfect / f.name, "w") as out:
+            for row in rows:
+                out.write(" ".join(str(v) for v in row) + f" {rng.uniform(0.5, 1):.4f}\n")
+    res = eval_txt.main([str(perfect), "--data",
+                         str(root / "visdrone_analog.yaml")])
+    assert res["mAP@.5"] > 0.99
+    # corrupt: drop half the predictions -> recall (and mAP) falls
+    for f in perfect.glob("*.txt"):
+        lines = f.read_text().splitlines()
+        f.write_text("\n".join(lines[: len(lines) // 2]))
+    res2 = eval_txt.main([str(perfect), "--data",
+                          str(root / "visdrone_analog.yaml")])
+    assert res2["mAP@.5"] < res["mAP@.5"] - 0.2
