@@ -171,6 +171,20 @@ def main():
     extra["flagship_batch1_device_ms"] = round(timed(model, fp, fs, img_u8(1), iters=50) * 1000, 2)
     extra["flagship_batch1_p50_roundtrip_ms"] = round(timed_sync(serve, (fp, fs, img_u8(1))) * 1000, 2)
 
+    # --- 1536px serving: the reference's own high-res eval regime
+    # (val.sh:1 runs val2 at 1996px TTA; train.sh:1 trains at 1536px)
+    # scaled to one chip. Images beyond one chip's HBM go through the
+    # dryrun-certified --spatial-shard mesh path; this leg prices the
+    # single-chip baseline of that regime. ---
+    try:
+        x_hr = jnp.asarray(rng.integers(0, 255, (8, 1536, 1536, 3),
+                                        dtype=np.uint8))
+        dt_hr = timed(model, fp, fs, x_hr, iters=10)
+        extra["flagship_1536px_bs8_img_s"] = round(8 / dt_hr, 1)
+        del x_hr
+    except Exception as e:
+        extra["flagship_1536px_bs8_img_s"] = f"error: {type(e).__name__}: {e}"
+
     # --- small models: where >=5k img/s is attainable ---
     for cfg, bs in (("yolov5n", 128), ("yolov5s", 128)):
         m2, fp2, fs2 = build(cfg)

@@ -32,3 +32,28 @@ def test_two_process_distributed_train(tmp_path):
     assert "sharded train steps" in r0 and "sharded train steps" in r1
     assert "checkpoint written" in r0 and "checkpoint written" not in r1
     assert (tmp_path / "last.npz").exists()
+    # collective orbax async sharded ckpt: BOTH ranks participate in the
+    # save and the restore round-trip (vs npz's rank-0 gather)
+    assert "orbax sharded ckpt round-trip ok" in r0
+    assert "orbax sharded ckpt round-trip ok" in r1
+    assert (tmp_path / "orbax_ckpt").is_dir()
+
+
+def test_two_process_spatial_mesh(tmp_path):
+    """(2 data x 2 spatial) with the spatial axis CROSSING the process
+    boundary: conv halo exchanges are cross-host collectives, and each
+    host feeds only the H stripe its devices own (round-4 verdict task 7)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, "-u",
+         os.path.join(REPO, "tools", "multiproc_dryrun.py"), "--spatial",
+         "--workdir", str(tmp_path), "--port", "47919"],
+        capture_output=True, text=True, timeout=1450, env=env, cwd=REPO)
+    out = r.stdout + r.stderr
+    assert r.returncode == 0, out[-4000:]
+    assert "multiproc_dryrun: world=2 OK" in out, out[-4000:]
+    for rank in (0, 1):
+        t = (tmp_path / f"rank{rank}.log").read_text()
+        assert "sharded train steps [2x2 data-x-spatial (cross-host halo)]" in t
+        assert "orbax sharded ckpt round-trip ok" in t

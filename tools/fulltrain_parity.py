@@ -144,7 +144,10 @@ def _flagship_cfg():
                        "flagship_n.yaml")
 
 
-def ref(epochs=EPOCHS, resume=False, tal=False, flagship=False):
+def ref(epochs=None, resume=False, tal=False, flagship=False):
+    epochs = EPOCHS if epochs is None else epochs  # EPOCHS is set by
+    # set_profile AFTER import — a def-time default would pin the shapes
+    # profile's 100 epochs regardless of profile
     sys.path.insert(0, REPO)
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from ref_compat import setup_reference_imports
@@ -259,7 +262,8 @@ def ref(epochs=EPOCHS, resume=False, tal=False, flagship=False):
     ref_train.main(opt)
 
 
-def tpu(epochs=EPOCHS, device=None, resume=False, tal=False, flagship=False):
+def tpu(epochs=None, device=None, resume=False, tal=False, flagship=False):
+    epochs = EPOCHS if epochs is None else epochs  # see ref()
     sfx = "_tal" if tal else "_flagship" if flagship else ""
     runs = f"{ROOT}/tpu_runs{sfx}"
     if tal:

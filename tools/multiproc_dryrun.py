@@ -94,8 +94,8 @@ def child(args):
     from dmayolo_tpu.data.datasets import DetectionDataset, check_dataset
     from dmayolo_tpu.data.loader import DataLoader
     from dmayolo_tpu.graph import DetectionModel
-    from dmayolo_tpu.parallel.mesh import (globalize_batch, globalize_targets,
-                                           make_mesh)
+    from dmayolo_tpu.parallel.mesh import (batch_sharding, globalize_batch,
+                                           globalize_targets, make_mesh)
     from dmayolo_tpu.train.loss import ComputeLoss
     from dmayolo_tpu.train.optim import Schedule, param_groups
     from dmayolo_tpu.train.step import (init_train_state, jit_train_step,
@@ -117,18 +117,35 @@ def child(args):
     data = check_dataset(os.path.join(args.workdir, "shapes", "shapes.yaml"))
     ds = DetectionDataset(data["train"], img_size=128, augment=False, nc=3)
     gbs = 8
-    # per-process loader: each host loads ONLY its stripe of the dataset
-    # and its gbs/pc rows of every global batch (DistributedSampler analog)
-    dl = DataLoader(ds, gbs, max_targets=16, shuffle=True, seed=0, workers=1,
-                    process_index=pi, process_count=pc)
+    if args.spatial:
+        # (2 data x 2 spatial) mesh with the SPATIAL axis crossing the
+        # process boundary: every conv halo exchange is a cross-host
+        # collective (the single-process dryrun only exercises in-process
+        # halos).  Input path for spatial sharding: each host feeds the H
+        # stripe its devices own, so both ranks iterate the SAME global
+        # batch (no process striping) and contribute complementary halves.
+        from jax.sharding import Mesh
 
-    mesh = make_mesh()  # all 8 global devices on 'data'
+        by_proc = [[d for d in jax.devices() if d.process_index == p]
+                   for p in range(pc)]
+        arr = np.array([[by_proc[0][0], by_proc[1][0]],
+                        [by_proc[0][1], by_proc[1][1]]])
+        mesh = Mesh(arr, ("data", "spatial"))
+        dl = DataLoader(ds, gbs, max_targets=16, shuffle=True, seed=0,
+                        workers=1)  # identical stream on every rank
+    else:
+        mesh = make_mesh()  # all 8 global devices on 'data'
+        # per-process loader: each host loads ONLY its stripe of the dataset
+        # and its gbs/pc rows of every global batch (DistributedSampler
+        # analog)
+        dl = DataLoader(ds, gbs, max_targets=16, shuffle=True, seed=0,
+                        workers=1, process_index=pi, process_count=pc)
     loss = ComputeLoss(model.head.anchors, HYP, nc=3)
     sched = Schedule(HYP, epochs=1, steps_per_epoch=max(1, len(dl)))
     step = jit_train_step(
         make_train_step(model, loss, sched, param_groups(model),
                         weight_decay=5e-4, dtype=jnp.float32),
-        mesh=mesh, donate=False)
+        mesh=mesh, spatial=args.spatial, donate=False)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -138,18 +155,35 @@ def child(args):
     n_steps = 0
     with mesh:
         for b in dl:
-            assert b.images.shape[0] == gbs // pc, b.images.shape
-            imgs = globalize_batch(
-                mesh, b.images.astype(np.float32) / 255.0)
-            tgts = globalize_targets(mesh, b.targets)
+            if args.spatial:
+                # contribute this host's H stripe of the full global batch
+                imgs_f = b.images.astype(np.float32) / 255.0
+                h = imgs_f.shape[1]
+                sl = slice(0, h // 2) if pi == 0 else slice(h // 2, h)
+                imgs = jax.make_array_from_process_local_data(
+                    batch_sharding(mesh, spatial=True), imgs_f[:, sl],
+                    global_shape=imgs_f.shape)
+                # targets are replicated over 'spatial': local == global,
+                # so pin the global shape explicitly
+                tsh = NamedSharding(mesh, P("data"))
+                tgts = jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        tsh, np.asarray(x), global_shape=np.shape(x)),
+                    b.targets)
+            else:
+                assert b.images.shape[0] == gbs // pc, b.images.shape
+                imgs = globalize_batch(
+                    mesh, b.images.astype(np.float32) / 255.0)
+                tgts = globalize_targets(mesh, b.targets)
             assert imgs.shape[0] == gbs  # global logical shape
             state, met = step(state, imgs, tgts, key)
             n_steps += 1
             if n_steps >= 2:
                 break
     lossv = float(np.asarray(met["loss"].addressable_shards[0].data))
-    print(f"[rank {pi}] {n_steps} sharded train steps, loss={lossv:.4f}",
-          flush=True)
+    mode = "2x2 data-x-spatial (cross-host halo)" if args.spatial else "data"
+    print(f"[rank {pi}] {n_steps} sharded train steps [{mode}], "
+          f"loss={lossv:.4f}", flush=True)
     assert np.isfinite(lossv)
 
     # sharded eval forward (batch on 'data'; params replicated)
@@ -157,9 +191,16 @@ def child(args):
         lambda p, s, x: model.decode(model.apply(p, s, x)),
         in_shardings=(None, None, NamedSharding(mesh, P("data"))),
     )
+    ev = np.zeros((8, 128, 128, 3), np.float32)
+    if args.spatial:
+        # P("data") over the 2x2 mesh: every process addresses all data
+        # rows, so local == global; state the global shape explicitly
+        ev_g = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("data")), ev, global_shape=ev.shape)
+    else:
+        ev_g = globalize_batch(mesh, ev)
     with mesh:
-        dec = fwd(state.params, state.stats,
-                  globalize_batch(mesh, np.zeros((8, 128, 128, 3), np.float32)))
+        dec = fwd(state.params, state.stats, ev_g)
         dec_ok = bool(np.isfinite(
             np.asarray(dec.addressable_shards[0].data)).all())
     print(f"[rank {pi}] sharded eval decode ok={dec_ok}", flush=True)
@@ -175,6 +216,25 @@ def child(args):
                         stats=jax.device_get(state.stats),
                         meta={"epoch": 0, "best_fitness": 0.0})
         print(f"[rank 0] checkpoint written: {out}", flush=True)
+
+    # orbax async SHARDED checkpoint — a COLLECTIVE save: every process
+    # calls save() and writes the shards it owns in parallel (the
+    # pod-scale path the npz rank-0 gather cannot give); then a collective
+    # restore round-trips one leaf to prove the artifact is loadable.
+    from dmayolo_tpu.utils.orbax_ckpt import AsyncTrainCheckpointer, restore
+
+    tree = {"params": state.params, "stats": state.stats}
+    ckptr = AsyncTrainCheckpointer()
+    opath = os.path.join(args.workdir, "orbax_ckpt")
+    ckptr.save(opath, tree, meta={"epoch": 0})
+    ckptr.close()
+    restored, rmeta = restore(opath, tree)
+    leaf = jax.tree.leaves(tree["params"])[0]
+    rleaf = jax.tree.leaves(restored["params"])[0]
+    same = bool(np.allclose(np.asarray(leaf.addressable_shards[0].data),
+                            np.asarray(rleaf.addressable_shards[0].data)))
+    assert same and rmeta.get("epoch") == 0
+    print(f"[rank {pi}] orbax sharded ckpt round-trip ok", flush=True)
 
     multihost_utils.sync_global_devices("multiproc_dryrun_done")
     print(f"[rank {pi}] done", flush=True)
@@ -198,7 +258,7 @@ def coordinator(args):
         p = subprocess.Popen(
             [sys.executable, "-u", os.path.abspath(__file__), "--child",
              str(r), "--world", str(args.world), "--port", str(args.port),
-             "--workdir", workdir],
+             "--workdir", workdir] + (["--spatial"] if args.spatial else []),
             stdout=log, stderr=subprocess.STDOUT, env=env, cwd=REPO)
         procs.append(p)
         logs.append(log)
@@ -239,6 +299,9 @@ def main():
     ap.add_argument("--port", type=int, default=47831)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--timeout", type=int, default=1500)
+    ap.add_argument("--spatial", action="store_true",
+                    help="(2 data x 2 spatial) mesh with the spatial axis "
+                         "crossing the process boundary + collective orbax")
     args = ap.parse_args()
     if args.child is not None:
         child(args)
