@@ -52,7 +52,7 @@ def set_profile(name):
     (sized so the torch reference finishes on this 1-core host).
     """
     global ROOT, DATA, YAML, EPOCHS, IMG, NOVAL, BS
-    if name in ("vda", "vda2"):
+    if name in ("vda", "vda2", "vda3"):
         # vda2 = the second difficulty point (link 7b): obj_scale 5.0 with
         # cluster geometry scaled by 5.0/3.5 so the extra pixels are not
         # paid back as overlap-occlusion — the flagship gets an operating
@@ -88,11 +88,18 @@ def gen(n_train=192, n_val=48, img_size=320):
         # lands mid-range instead of pinning at 0 (at 1.0, 60% of boxes
         # are < 8 px — below the sensor floor at 512 px).  vda2 scales the
         # cluster geometry with the objects (see generate_visdrone_analog)
-        default_obj = VDA2_OBJ_SCALE if DATA == "/tmp/vda2" else VDA_OBJ_SCALE
+        # vda3 = the vda2 statistics with a 384-image train split: the
+        # vda2-192 calibration measured the flagship still budget-bound at
+        # 0.057 (120 optimizer steps, all inside the shared 1000-iter
+        # warmup floor); doubling the split doubles steps AND data, and
+        # warmup ends 52% through instead of after the run
+        default_obj = (VDA2_OBJ_SCALE if DATA in ("/tmp/vda2", "/tmp/vda3")
+                       else VDA_OBJ_SCALE)
         scale = float(os.environ.get("VDA_OBJ_SCALE", default_obj))
         cluster = float(os.environ.get(
             "VDA_CLUSTER_SCALE",
-            scale / VDA_OBJ_SCALE if DATA == "/tmp/vda2" else 1.0))
+            scale / VDA_OBJ_SCALE if DATA in ("/tmp/vda2", "/tmp/vda3")
+            else 1.0))
         # vda2 models a LOWER-ALTITUDE operating point: zooming in by
         # `cluster` makes objects bigger, spreads the clusters, AND shows
         # fewer objects per frame (ground density constant => count
@@ -102,7 +109,9 @@ def gen(n_train=192, n_val=48, img_size=320):
         if cluster > 1.0:
             kw = dict(min_objects=max(4, round(40 / cluster**2)),
                       max_objects=max(8, round(110 / cluster**2)))
-        path = generate_visdrone_analog(DATA, n_train=192, n_val=512,
+        n_tr = int(os.environ.get(
+            "VDA_N_TRAIN", 384 if DATA == "/tmp/vda3" else 192))
+        path = generate_visdrone_analog(DATA, n_train=n_tr, n_val=512,
                                         img_size=512, seed=11,
                                         obj_scale=scale,
                                         cluster_scale=cluster, **kw)
@@ -358,7 +367,7 @@ def _cross_val(ckpt, project, device="cpu"):
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    for prof in ("vda", "vda2"):
+    for prof in ("vda", "vda2", "vda3"):
         if prof in args:
             set_profile(prof)
             args = [a for a in args if a != prof]
