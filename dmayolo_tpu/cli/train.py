@@ -83,6 +83,10 @@ def build_parser():
     p.add_argument("--image-weights", action="store_true", help="class-mAP weighted image sampling")
     p.add_argument("--accumulate", type=int, default=0,
                    help="grad-accumulation factor (0 = auto round(64/bs), ref train.py:189)")
+    p.add_argument("--no-accum-ramp", action="store_true",
+                   help="disable the reference's warmup accumulate ramp "
+                        "1->64/bs (ref train.py:412) and keep a fixed "
+                        "cadence (one XLA train program)")
     return p
 
 
@@ -254,6 +258,7 @@ def _make_trainer(opt, hyp, out_dir):
         resume_from=opt.resume if opt.resume and opt.resume != "auto" else None,
         pretrained=opt.weights or None,
         accumulate=opt.accumulate or None,
+        accum_ramp=not getattr(opt, "no_accum_ramp", False),
         ckpt_async=opt.ckpt_async,
         device_aug=opt.device_aug,
         fastload=opt.fastload,

@@ -103,10 +103,17 @@ class Schedule:
             return (1 - epoch / (self.epochs - 1)) * (1.0 - self.lrf) + self.lrf
         return ((1 - jnp.cos(epoch * jnp.pi / self.epochs)) / 2) * (self.lrf - 1) + 1
 
-    def __call__(self, step):
-        """Returns dict of per-group lr (g0/g1/g2) and momentum at `step`."""
+    def __call__(self, step, batch_units=False):
+        """Returns dict of per-group lr (g0/g1/g2) and momentum at `step`.
+
+        `step` is the optimizer-step counter (scaled back to batch units
+        by step_scale), or — with batch_units=True — the batch counter ni
+        itself (the reference's warmup domain, train.py:405; used by the
+        trainer's warmup accumulate ramp where the opt-step -> ni mapping
+        is nonlinear)."""
         step = step.astype(jnp.float32) if hasattr(step, "astype") else float(step)
-        step = step * self.step_scale
+        if not batch_units:
+            step = step * self.step_scale
         epoch = jnp.floor(step / self.spe)
         base = self.lr0 * self._lf(epoch)
         frac = jnp.clip(step / self.nw, 0.0, 1.0)
@@ -134,10 +141,11 @@ def init_opt_state(params: FlatDict) -> OptState:
 
 
 def sgd_step(params, grads, state: OptState, sched: Schedule, labels,
-             weight_decay: float):
+             weight_decay: float, ni=None):
     """torch SGD(momentum, nesterov=True) with L2 decay on g1 only.
-    Matches torch._single_tensor_sgd semantics."""
-    lrs = sched(state.step)
+    Matches torch._single_tensor_sgd semantics.  `ni`: optional batch
+    counter for schedules driven in batch units (warmup accumulate ramp)."""
+    lrs = sched(state.step) if ni is None else sched(ni, batch_units=True)
     mom = lrs["momentum"]
     new_p, new_buf = {}, {}
     for k, p in params.items():
@@ -158,7 +166,8 @@ def sgd_step(params, grads, state: OptState, sched: Schedule, labels,
 
 
 def adam_step(params, grads, state: OptState, sched: Schedule, labels,
-              weight_decay: float, beta2: float = 0.999, eps: float = 1e-8):
+              weight_decay: float, ni=None, beta2: float = 0.999,
+              eps: float = 1e-8):
     """torch Adam (L2-style decay) with beta1 = hyp momentum.
     ref: train.py:217 (Adam(lr=3e-4, betas=(momentum, 0.999))).
 
@@ -166,7 +175,7 @@ def adam_step(params, grads, state: OptState, sched: Schedule, labels,
     only optimizer groups with a 'momentum' key, i.e. SGD — Adam betas are
     set at construction and never ramped (ref train.py:415-422). A fixed
     beta1 also keeps the 1-beta1**t bias correction exact."""
-    lrs = sched(state.step)
+    lrs = sched(state.step) if ni is None else sched(ni, batch_units=True)
     beta1 = sched.momentum
     t = state.step.astype(jnp.float32) + 1.0
     new_p, new_m, new_v = {}, {}, {}

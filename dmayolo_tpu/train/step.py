@@ -114,7 +114,7 @@ def make_train_step(
         (total, (items, new_stats)), grads = jax.value_and_grad(lossfn, has_aux=True)(params)
         return total, items, new_stats, grads
 
-    def step(state: TrainState, imgs, targets: Targets, rng) -> tuple:
+    def step(state: TrainState, imgs, targets: Targets, rng, ni=None) -> tuple:
         if accumulate == 1:
             total, items, new_stats, grads = grad_one(
                 state.params, state.stats, imgs, targets, rng
@@ -145,7 +145,8 @@ def make_train_step(
             items = {k: jnp.mean(items_seq[k], axis=0) for k in items_seq}
 
         new_params, new_opt = opt_update(
-            state.params, grads, state.opt, sched, labels, weight_decay
+            state.params, grads, state.opt, sched, labels, weight_decay,
+            ni=ni,
         )
         if freeze:
             # frozen layers (ref train.py:205-212 --freeze N: model.0..N-1)
@@ -182,12 +183,16 @@ def make_train_step(
     return step
 
 
-def jit_train_step(step, mesh=None, spatial: bool = False, donate: bool = False):
+def jit_train_step(step, mesh=None, spatial: bool = False, donate: bool = False,
+                   with_ni: bool = False):
     """jit with mesh shardings: state replicated, batch data-sharded.
 
     `donate=True` aliases the state buffers (halves HBM churn on TPU) but
     must stay off on the virtual-CPU test backend: XLA CPU deadlocks when
     donated buffers feed collectives (rendezvous misses 1 of N threads).
+
+    `with_ni=True` declares the optional 5th `ni` argument (replicated
+    scalar batch counter for the warmup accumulate ramp).
     """
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -197,10 +202,13 @@ def jit_train_step(step, mesh=None, spatial: bool = False, donate: bool = False)
     repl = NamedSharding(mesh, P())
     img_s = NamedSharding(mesh, P("data", "spatial") if spatial else P("data"))
     data_s = NamedSharding(mesh, P("data"))
+    shardings = [None, img_s, Targets(data_s, data_s, data_s), repl]
+    if with_ni:
+        shardings.append(repl)
     # state/rng replicated (None = follow input placement), batch data-sharded
     return jax.jit(
         step,
-        in_shardings=(None, img_s, Targets(data_s, data_s, data_s), repl),
+        in_shardings=tuple(shardings),
         out_shardings=(None, None),
         donate_argnums=(0,) if donate else (),
     )
