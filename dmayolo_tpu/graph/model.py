@@ -309,10 +309,14 @@ class DetectionModel(Module):
     def decode(self, raw):
         return self.head.decode(raw)
 
-    def decode_parts(self, raw, class_mask=None):
+    def decode_parts(self, raw, class_mask=None, ref_order: bool = True):
         """Serving fast-path decode (see heads.decode_parts); feed to
         core.nms.nms_parts."""
-        return self.head.decode_parts(raw, class_mask)
+        from ..nn.heads import TDetect
+
+        if isinstance(self.head, TDetect):  # already in native (y, x) order
+            return self.head.decode_parts(raw, class_mask)
+        return self.head.decode_parts(raw, class_mask, ref_order=ref_order)
 
     def decode_topk(self, raw, k: int = 512, conf_thres: float = 0.25,
                     class_mask=None):
@@ -336,7 +340,8 @@ class DetectionModel(Module):
     def serve_detections(self, raw, conf_thres: float = 0.25,
                          iou_thres: float = 0.45, max_det: int = 300,
                          max_nms: int = 512, backend: str = "matrix",
-                         agnostic: bool = False, class_mask=None):
+                         agnostic: bool = False, class_mask=None,
+                         ref_order: bool = False):
         """Head-aware serving tail: raw head outputs -> (dets, valid).
 
         Picks the measured-faster single-label decode per head family
@@ -346,6 +351,12 @@ class DetectionModel(Module):
         Detect keeps the eager decode_parts path (the lazy gathers cost
         more than the all-anchor box math they avoid).  Both tails are
         numerically identical to decode + single-label batched_nms.
+
+        ref_order=False (default) flattens candidates in native (y, x, a)
+        order — same detections, same scores; only equal-score NMS
+        tie-breaks can differ from the reference's (a, y, x) order, and
+        three layout-hostile transposes per scale disappear.  Pass
+        ref_order=True for bit-exact tie-break parity with the eval path.
         """
         from ..core.nms import nms_from_topk, nms_parts
         from ..nn.heads import TDetect
@@ -368,7 +379,8 @@ class DetectionModel(Module):
             return nms_from_topk(tb, ts, tc, iou_thres=iou_thres,
                                  agnostic=agnostic, max_det=max_det,
                                  backend=backend)
-        boxes, scores, cls = self.decode_parts(raw, class_mask=class_mask)
+        boxes, scores, cls = self.decode_parts(raw, class_mask=class_mask,
+                                               ref_order=ref_order)
         return nms_parts(boxes, scores, cls, conf_thres=conf_thres,
                          iou_thres=iou_thres, agnostic=agnostic,
                          max_det=max_det,

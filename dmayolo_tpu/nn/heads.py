@@ -82,13 +82,20 @@ class Detect(Module):
             z.append(dec)
         return jnp.concatenate(z, axis=1)
 
-    def decode_parts(self, raw: Sequence[jax.Array], class_mask=None):
+    def decode_parts(self, raw: Sequence[jax.Array], class_mask=None,
+                     ref_order: bool = True):
         """Serving-path decode: per-scale fused sigmoid + box + best-class.
 
         Returns (boxes_xyxy (B,N,4), scores (B,N), cls (B,N)) in reference
         candidate order — the (B, N, 5+nc) tensor `decode` materialises
         (and NMS then re-reads through several HBM passes) never exists.
         Numerically identical to decode -> conf=obj*cls -> argmax/max.
+
+        ref_order=False keeps the native (y, x, a) flatten — the
+        reference's (a, y, x) candidate order costs three layout-hostile
+        transposes per scale (minor dims 4/1) and only matters for
+        equal-score NMS tie-breaks; the serving tail uses native order
+        (see docs/ROOFLINE.md §2b for the chip measurement).
         """
         bxs, scs, cls_ = [], [], []
         for i, x in enumerate(raw):
@@ -117,9 +124,14 @@ class Detect(Module):
             if class_mask is not None:
                 best = jnp.where(class_mask[bc], best, 0.0)
             bc = bc.astype(jnp.float32)
-            bxs.append(box.transpose(0, 3, 1, 2, 4).reshape(b, na * ny * nx, 4))
-            scs.append(best.transpose(0, 3, 1, 2).reshape(b, na * ny * nx))
-            cls_.append(bc.transpose(0, 3, 1, 2).reshape(b, na * ny * nx))
+            if ref_order:  # (a, y, x) flatten to match the reference
+                bxs.append(box.transpose(0, 3, 1, 2, 4).reshape(b, na * ny * nx, 4))
+                scs.append(best.transpose(0, 3, 1, 2).reshape(b, na * ny * nx))
+                cls_.append(bc.transpose(0, 3, 1, 2).reshape(b, na * ny * nx))
+            else:  # native contiguous (y, x, a) — reshape only, no copies
+                bxs.append(box.reshape(b, na * ny * nx, 4))
+                scs.append(best.reshape(b, na * ny * nx))
+                cls_.append(bc.reshape(b, na * ny * nx))
         return (jnp.concatenate(bxs, 1), jnp.concatenate(scs, 1),
                 jnp.concatenate(cls_, 1))
 
