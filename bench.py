@@ -191,6 +191,44 @@ def main():
         dt_s = timed(m2, fp2, fs2, img_u8(bs))
         extra[f"{cfg}_bs{bs}_img_s"] = round(bs / dt_s, 1)
 
+    # --- int8 PTQ serving (yolov5s): convs on the MXU's native int8 path
+    # (nn/quant.py; per-conv chip probe: 1.8-3.1x bf16). mAP parity on
+    # trained weights is held by tests/test_int8_serve.py (<0.05 delta). ---
+    try:
+        from dmayolo_tpu.nn.quant import calibrate_act_scales
+
+        m8, fp8, fs8 = build("yolov5s")
+        cal = [np.asarray(rng.integers(0, 255, (8, 640, 640, 3),
+                                       dtype=np.uint8))]
+        scales8 = calibrate_act_scales(m8, fp8, fs8, cal, dtype=jnp.float32)
+
+        def serve8(p, s, x):
+            xf = x.astype(jnp.bfloat16) / 255.0
+            raw = m8.apply(p, s, xf, fused=True, dtype=jnp.bfloat16,
+                           quant=scales8)
+            return m8.serve_detections(raw, conf_thres=0.25, iou_thres=0.45,
+                                       max_det=300, max_nms=512,
+                                       backend="matrix")
+
+        @jax.jit
+        def run8(p, s, x):
+            def body(c, _):
+                dets, valid = serve8(p, s, x + c)
+                return valid[0, 0].astype(jnp.uint8), ()
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None,
+                                length=20)
+            return c
+
+        x8 = img_u8(128)
+        float(run8(fp8, fs8, x8))
+        t0 = time.perf_counter()
+        float(run8(fp8, fs8, x8))
+        dt8 = ((time.perf_counter() - t0) - _overhead_ms[0] / 1000) / 20
+        extra["yolov5s_int8_bs128_img_s"] = round(128 / dt8, 1)
+        del m8, fp8, fs8, x8
+    except Exception as e:
+        extra["yolov5s_int8_bs128_img_s"] = f"error: {type(e).__name__}: {e}"
+
     # --- anchor-free TAL flagship (CASPD_ODRTA, reference train.sh:3
     # --assignment tal): the fork's second headline recipe — exercises the
     # TDetect/DFL decode on the serving fast path ---

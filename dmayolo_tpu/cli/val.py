@@ -43,6 +43,12 @@ def build_parser():
     p.add_argument("--name", type=str, default="exp")
     p.add_argument("--exist-ok", action="store_true")
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 PTQ serving on the MXU (nn/quant.py): convs "
+                        "run int8xint8->int32, decode stays float; "
+                        "calibrated on --ncalib dataset images")
+    p.add_argument("--ncalib", type=int, default=32,
+                   help="calibration images for --int8")
     p.add_argument("--no-fuse", action="store_true")
     p.add_argument("--rect", action="store_true", help="rectangular val batches (pad 0.5)")
     p.add_argument("--single-cls", action="store_true")
@@ -82,6 +88,36 @@ def main(argv=None):
     data = check_dataset(opt.data)
     out = increment_path(f"{opt.project}/{opt.name}", exist_ok=opt.exist_ok)
     out.mkdir(parents=True, exist_ok=True)
+
+    quant = None
+    if opt.int8:
+        if not fused:
+            raise SystemExit("--int8 requires the fused inference path "
+                             "(drop --no-fuse)")
+        import cv2
+        import numpy as _np
+
+        from ..data.augment import letterbox
+        from ..data.datasets import _scan_images
+        from ..nn.quant import calibrate_act_scales, quant_coverage
+
+        cal_src = data.get("train") or data["val"]
+        files = _scan_images(cal_src)[: opt.ncalib]
+        imgs = []
+        for f in files:
+            im = cv2.imread(str(f))
+            if im is None:
+                continue
+            imgs.append(letterbox(im, opt.imgsz, auto=False)[0][..., ::-1]
+                        .astype(_np.uint8))
+        if not imgs:
+            raise SystemExit(f"--int8: no readable calibration images under "
+                             f"{cal_src}")
+        batches = [_np.stack(imgs[i:i + 8]) for i in range(0, len(imgs), 8)]
+        quant = calibrate_act_scales(model, params, stats, batches,
+                                     dtype=jnp.float32)
+        print(f"int8 calibration: {len(imgs)} images, "
+              f"{quant_coverage(model, quant)}")
 
     split = data.get(opt.task if opt.task in ("val", "test") else "val") or data["val"]
     if opt.task == "speed":
@@ -144,6 +180,7 @@ def main(argv=None):
         single_cls=opt.single_cls,
         save_json=jdict,
         class_map=class_map,
+        quant=quant,
     )
     if jdict is not None:
         from ..eval.coco_json import evaluate_coco, is_coco_data, write_coco_json

@@ -57,7 +57,8 @@ class ValResult:
 def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
                   dtype=jnp.bfloat16, fused: bool = False, augment: bool = False,
                   max_nms: int = 30000, nms_backend: str = "scan",
-                  mesh=None, spatial: bool = False, hybrid: bool = False):
+                  mesh=None, spatial: bool = False, hybrid: bool = False,
+                  quant=None):
     """Build the jitted whole-batch forward+decode+NMS (optionally TTA).
 
     Params/stats are jit ARGUMENTS, not closure captures — captured arrays
@@ -76,7 +77,7 @@ def make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
         if augment:
             dec = forward_augment(model, p, s, xf, dtype=dtype, fused=fused)
         else:
-            raw = model.apply(p, s, xf, dtype=dtype, fused=fused)
+            raw = model.apply(p, s, xf, dtype=dtype, fused=fused, quant=quant)
             dec = model.decode(raw)
         if dec.shape[-1] == model.nc + 4:  # TDetect: insert obj=1 column
             dec = jnp.concatenate(
@@ -174,6 +175,7 @@ def run_validation(
     mesh=None,
     spatial: bool = False,
     save_hybrid: bool = False,
+    quant=None,
 ) -> ValResult:
     """rect=True enables the reference's aspect-sorted rectangular batches
     (val.py:172, pad 0.5) — shapes are bucketed per batch, so XLA compiles
@@ -195,10 +197,12 @@ def run_validation(
     )
     loader = DataLoader(ds, batch_size, max_targets=max_targets, shuffle=False,
                         drop_last=False)
+    if quant is not None and augment:
+        raise ValueError("--int8 with TTA (--augment) is not supported")
     infer = make_infer_fn(model, params, stats, conf_thres, iou_thres, max_det,
                           dtype=dtype, fused=fused, augment=augment,
                           max_nms=max_nms, nms_backend=nms_backend, mesh=mesh,
-                          spatial=spatial, hybrid=save_hybrid)
+                          spatial=spatial, hybrid=save_hybrid, quant=quant)
     if save_txt_dir is not None:
         save_txt_dir = Path(save_txt_dir)
         save_txt_dir.mkdir(parents=True, exist_ok=True)

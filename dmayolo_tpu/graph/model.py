@@ -296,9 +296,15 @@ class DetectionModel(Module):
         return params, stats
 
     def apply(self, params, stats, x, train: bool = False, rng=None,
-              dtype=jnp.float32, fused: bool = False, remat: bool = False):
-        """Forward. train=True returns (raw, new_stats); else raw list."""
-        v = make_vars(params, stats, train=train, rng=rng, dtype=dtype, fused=fused)
+              dtype=jnp.float32, fused: bool = False, remat: bool = False,
+              quant=None, quant_observe=None):
+        """Forward. train=True returns (raw, new_stats); else raw list.
+
+        quant: {conv_path: input_scale} from nn/quant.calibrate_act_scales
+        — eligible convs run the int8 MXU path (serving only).
+        quant_observe: calibration dict (see nn/quant.py)."""
+        v = make_vars(params, stats, train=train, rng=rng, dtype=dtype,
+                      fused=fused, quant=quant, quant_observe=quant_observe)
         out = self(v, x, remat=remat)
         if train:
             new_stats = dict(stats)

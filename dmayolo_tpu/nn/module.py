@@ -36,6 +36,11 @@ class ApplyCtx:
     rng: Optional[jax.Array] = None
     stats_out: Optional[FlatDict] = None  # BN running-stat updates (train only)
     fused: bool = False  # params have BN folded into convs (inference)
+    # int8 PTQ serving (nn/quant.py): {conv_path: input_scale} — eligible
+    # convs run int8xint8->int32 on the MXU and dequantise in the epilogue
+    quant: Optional[Dict[Path, float]] = None
+    # calibration pass: eligible convs append (path, |x|max) here
+    quant_observe: Optional[Dict[Path, Any]] = None
 
     _rng_counter: int = 0
 
@@ -137,12 +142,15 @@ class Lambda(Module):
 
 
 def make_vars(params: FlatDict, stats: FlatDict, train: bool = False, rng=None,
-              dtype=jnp.float32, fused: bool = False) -> Vars:
+              dtype=jnp.float32, fused: bool = False, quant=None,
+              quant_observe=None) -> Vars:
     ctx = ApplyCtx(
         train=train,
         dtype=dtype,
         rng=rng,
         stats_out={} if train else None,
         fused=fused,
+        quant=quant,
+        quant_observe=quant_observe,
     )
     return Vars(params=params, stats=stats, ctx=ctx)

@@ -104,6 +104,15 @@ class Conv2d(Module):
         return params
 
     def __call__(self, v: Vars, x):
+        ctx = v.ctx
+        if ctx.quant_observe is not None:
+            # int8 calibration pass (nn/quant.py): record this conv's input
+            # dynamic range; the conv itself runs in full precision
+            ctx.quant_observe.setdefault(self.path, []).append(
+                jnp.max(jnp.abs(x.astype(jnp.float32))))
+        s_x = None if ctx.quant is None else ctx.quant.get(self.path)
+        if s_x is not None:
+            return self._int8_conv(v, x, float(s_x))
         kernel = v.params[self.path + ("kernel",)].astype(v.ctx.dtype)
         x = x.astype(v.ctx.dtype)
         y = jax.lax.conv_general_dilated(
@@ -121,6 +130,34 @@ class Conv2d(Module):
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
+
+    def _int8_conv(self, v: Vars, x, s_x: float):
+        """int8 PTQ path (nn/quant.py): per-tensor input scale (calibrated),
+        per-output-channel symmetric weight scale, int8xint8->int32 on the
+        MXU (chip-measured 1.8-3.1x bf16 at v5s shapes,
+        experiments/exp_int8_conv.py), dequantised f32 epilogue so the
+        following activation/BN math is full-precision."""
+        w = v.params[self.path + ("kernel",)].astype(jnp.float32)
+        s_w = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True) / 127.0
+        s_w = jnp.maximum(s_w, 1e-12)
+        w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                       -127, 127).astype(jnp.int8)
+        y32 = jax.lax.conv_general_dilated(
+            x_q,
+            w_q,
+            window_strides=self.s,
+            padding=[(self.p[0], self.p[0]), (self.p[1], self.p[1])],
+            rhs_dilation=self.d,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.g,
+            preferred_element_type=jnp.int32,
+        )
+        y = y32.astype(jnp.float32) * (s_x * s_w.reshape(1, 1, 1, -1))
+        bias = v.params.get(self.path + ("bias",))
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(v.ctx.dtype)
 
 
 class BatchNorm2d(Module):
