@@ -347,7 +347,7 @@ class DetectionModel(Module):
                          iou_thres: float = 0.45, max_det: int = 300,
                          max_nms: int = 512, backend: str = "matrix",
                          agnostic: bool = False, class_mask=None,
-                         ref_order: bool = False):
+                         ref_order: bool = True):
         """Head-aware serving tail: raw head outputs -> (dets, valid).
 
         Picks the measured-faster single-label decode per head family
@@ -358,11 +358,12 @@ class DetectionModel(Module):
         more than the all-anchor box math they avoid).  Both tails are
         numerically identical to decode + single-label batched_nms.
 
-        ref_order=False (default) flattens candidates in native (y, x, a)
-        order — same detections, same scores; only equal-score NMS
-        tie-breaks can differ from the reference's (a, y, x) order, and
-        three layout-hostile transposes per scale disappear.  Pass
-        ref_order=True for bit-exact tie-break parity with the eval path.
+        ref_order=False flattens candidates in native (y, x, a) order —
+        same detections/scores, only equal-score NMS tie-breaks differ.
+        Chip-measured NEUTRAL (v5n 8,369 ref vs 8,308 native; v5s 4,706
+        vs 4,677 img/s, round-5): XLA already fuses the reference-order
+        transposes into the decode, so the default stays ref_order=True
+        for bit-exact tie-break parity with the eval path.
         """
         from ..core.nms import nms_from_topk, nms_parts
         from ..nn.heads import TDetect

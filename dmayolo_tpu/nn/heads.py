@@ -91,11 +91,11 @@ class Detect(Module):
         (and NMS then re-reads through several HBM passes) never exists.
         Numerically identical to decode -> conf=obj*cls -> argmax/max.
 
-        ref_order=False keeps the native (y, x, a) flatten — the
-        reference's (a, y, x) candidate order costs three layout-hostile
-        transposes per scale (minor dims 4/1) and only matters for
-        equal-score NMS tie-breaks; the serving tail uses native order
-        (see docs/ROOFLINE.md §2b for the chip measurement).
+        ref_order=False keeps the native (y, x, a) flatten instead of the
+        reference's (a, y, x) — it only matters for equal-score NMS
+        tie-breaks.  Chip-measured NEUTRAL (round 5): XLA fuses the
+        reference-order transposes into the surrounding decode, so this
+        is an ablation knob, not an optimisation (docs/ROOFLINE.md §2b).
         """
         bxs, scs, cls_ = [], [], []
         for i, x in enumerate(raw):
