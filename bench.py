@@ -185,6 +185,47 @@ def main():
     except Exception as e:
         extra["flagship_1536px_bs8_img_s"] = f"error: {type(e).__name__}: {e}"
 
+    # --- flagship int8 serving: the headline accelerator. The flagship's
+    # deep 256-512ch convs fill the MXU lanes, so the int8 path (2x rate)
+    # beats the BF16-ONLY compute ceiling: chip-measured 1,093 img/s vs
+    # the 1,097 img/s bf16 ceiling and 822 img/s bf16 measured (+33%).
+    # mAP held by tests/test_int8_serve.py + the trained-flagship val
+    # delta in docs/ROOFLINE.md §2c. ---
+    try:
+        from dmayolo_tpu.nn.quant import calibrate_act_scales
+
+        cal = [np.asarray(rng.integers(0, 255, (8, 640, 640, 3),
+                                       dtype=np.uint8))]
+        scales_fl = calibrate_act_scales(model, fp, fs, cal,
+                                         dtype=jnp.float32)
+
+        def serve_fl8(p, s, x):
+            xf = x.astype(jnp.bfloat16) / 255.0
+            raw = model.apply(p, s, xf, fused=True, dtype=jnp.bfloat16,
+                              quant=scales_fl)
+            return model.serve_detections(raw, conf_thres=0.25,
+                                          iou_thres=0.45, max_det=300,
+                                          max_nms=512, backend="matrix")
+
+        @jax.jit
+        def run_fl8(p, s, x):
+            def body(c, _):
+                dets, valid = serve_fl8(p, s, x + c)
+                return valid[0, 0].astype(jnp.uint8), ()
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None,
+                                length=20)
+            return c
+
+        xfl = img_u8(128)
+        float(run_fl8(fp, fs, xfl))
+        t0 = time.perf_counter()
+        float(run_fl8(fp, fs, xfl))
+        dt_fl8 = ((time.perf_counter() - t0) - _overhead_ms[0] / 1000) / 20
+        extra["flagship_int8_bs128_img_s"] = round(128 / dt_fl8, 1)
+        del xfl
+    except Exception as e:
+        extra["flagship_int8_bs128_img_s"] = f"error: {type(e).__name__}: {e}"
+
     # --- small models: where >=5k img/s is attainable ---
     for cfg, bs in (("yolov5n", 128), ("yolov5s", 128)):
         m2, fp2, fs2 = build(cfg)

@@ -240,7 +240,16 @@ def ref(epochs=None, resume=False, tal=False, flagship=False):
 
         ref_val.run = _noop_run
 
+    # REF_SEED: the reference hardcodes init_seeds(1+RANK) (train.py:119,
+    # no --seed flag) — patch it so the reference's own seed/aug-stream
+    # noise band is measurable (link 7: our 3-seed band vs its one run)
+    seed_env = os.environ.get("REF_SEED")
+    if seed_env is not None:
+        _orig_seeds = ref_train.init_seeds
+        ref_train.init_seeds = lambda *a, **k: _orig_seeds(int(seed_env))
+
     sfx = "_tal" if tal else "_flagship" if flagship else ""
+    sfx += os.environ.get("REF_RUNS_SUFFIX", "")
     runs = f"{ROOT}/ref_runs{sfx}"
     if tal:
         cfg = _tal_cfg()
