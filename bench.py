@@ -189,8 +189,7 @@ def main():
     # deep 256-512ch convs fill the MXU lanes, so the int8 path (2x rate)
     # beats the BF16-ONLY compute ceiling: chip-measured 1,093 img/s vs
     # the 1,097 img/s bf16 ceiling and 822 img/s bf16 measured (+33%).
-    # mAP held by tests/test_int8_serve.py + the trained-flagship val
-    # delta in docs/ROOFLINE.md §2c. ---
+    # mAP held by tests/test_int8_serve.py; see docs/ROOFLINE.md §7. ---
     try:
         from dmayolo_tpu.nn.quant import calibrate_act_scales
 

@@ -135,8 +135,13 @@ class Conv2d(Module):
         """int8 PTQ path (nn/quant.py): per-tensor input scale (calibrated),
         per-output-channel symmetric weight scale, int8xint8->int32 on the
         MXU (chip-measured 1.8-3.1x bf16 at v5s shapes,
-        experiments/exp_int8_conv.py), dequantised f32 epilogue so the
-        following activation/BN math is full-precision."""
+        experiments/exp_int8_conv.py), dequantised in the serving compute
+        dtype.  The dequant epilogue runs in ctx.dtype (bf16 when serving):
+        experiments/exp_int8_chain.py measured the f32 epilogue eating 25%
+        of the chain (int32->f32 doubles the epilogue write traffic); the
+        bf16 epilogue lands within 10% of the no-requant fusion ceiling.
+        Quantisation rounding stays f32 (exact thresholds); --fp32 runs
+        get the f32 epilogue unchanged."""
         w = v.params[self.path + ("kernel",)].astype(jnp.float32)
         s_w = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True) / 127.0
         s_w = jnp.maximum(s_w, 1e-12)
@@ -153,11 +158,12 @@ class Conv2d(Module):
             feature_group_count=self.g,
             preferred_element_type=jnp.int32,
         )
-        y = y32.astype(jnp.float32) * (s_x * s_w.reshape(1, 1, 1, -1))
+        dt = v.ctx.dtype
+        y = y32.astype(dt) * (s_x * s_w.reshape(1, 1, 1, -1)).astype(dt)
         bias = v.params.get(self.path + ("bias",))
         if bias is not None:
-            y = y + bias.astype(jnp.float32)
-        return y.astype(v.ctx.dtype)
+            y = y + bias.astype(dt)
+        return y
 
 
 class BatchNorm2d(Module):
